@@ -1,0 +1,211 @@
+"""Generic fixed-grid explicit Runge-Kutta integration as one ``lax.scan``.
+
+Replaces the reference's Python time loop (``RKParametricSolver.integrate``,
+sopa/src/solvers/rk_parametric.py:89-123) with a single compiled scan whose
+body unrolls the s stages of an arbitrary :class:`ButcherTableau`.  One
+integrator covers Euler/RK2/RK3/RK4; differentiation is
+discretize-then-optimize through the scan (matching the reference's
+backprop-through-the-unrolled-loop semantics, SURVEY.md §3.1), and gradients
+also flow to the tableau entries (and hence to the solver parameters u, v).
+
+Grid construction mirrors the reference exactly:
+  * from ``n_steps``: ``linspace(t0, t1, n+1)`` (rk_parametric.py:38-47)
+  * from ``step_size``: ``arange(ceil((t1-t0)/h + 1)) * h + t0`` with the last
+    point clamped to ``t1`` (rk_parametric.py:23-35) — note the final interval
+    may be shorter than ``h``.
+
+TPU notes: the step loop is inherently serial (y_{n+1} depends on y_n), so the
+parallel axes are batch / ensemble-members / devices, never time.  ``unroll``
+lets XLA fuse several steps into one fused region; ``remat`` rematerializes
+RHS activations in the backward pass to trade FLOPs for HBM.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .tableau import ButcherTableau
+
+__all__ = [
+    "make_time_grid",
+    "rk_step",
+    "odeint_grid",
+    "odeint_final",
+    "odeint",
+]
+
+Array = jax.Array
+RHS = Callable[[Array, Array], Array]  # rhs(t, y) -> dy/dt
+
+
+def make_time_grid(
+    t0: float,
+    t1: float,
+    n_steps: Optional[int] = None,
+    step_size: Optional[float] = None,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Build the integration grid (host-side, static shapes).
+
+    Exactly one of ``n_steps`` / ``step_size`` must be given
+    (rk_parametric.py:9-10 raises on ambiguity).
+    """
+    if (n_steps is None) == (step_size is None):
+        raise ValueError("exactly one of n_steps / step_size must be given")
+    if n_steps is not None:
+        return jnp.linspace(t0, t1, int(n_steps) + 1, dtype=dtype)
+    import math
+
+    n_points = int(math.ceil((t1 - t0) / step_size + 1))
+    grid = jnp.arange(n_points, dtype=dtype) * step_size + t0
+    # Clamp the final point to t1 (rk_parametric.py:31-32).
+    return jnp.where(
+        jnp.arange(n_points) == n_points - 1, jnp.minimum(grid, t1), grid
+    ).astype(dtype)
+
+
+def rk_step(tableau: ButcherTableau, rhs: RHS, y: Array, t: Array, dt: Array):
+    """One explicit RK step: returns dy = dt * sum_i b_i k_i.
+
+    Stage loop is a static Python unroll (s <= 4), so XLA sees a straight-line
+    graph of s RHS calls it can fuse (reference per-solver ``_make_step``,
+    e.g. rk_parametric_order2stage2.py:87-93).
+    """
+    s = tableau.stages
+    ks = []
+    for i in range(s):
+        yi = y
+        for j in range(i):
+            wij = tableau.w[..., i, j]
+            yi = yi + (wij * dt) * ks[j]
+        ti = t + tableau.c[..., i] * dt
+        ks.append(rhs(ti, yi))
+    dy = ks[0] * (tableau.b[..., 0] * dt)
+    for i in range(1, s):
+        dy = dy + ks[i] * (tableau.b[..., i] * dt)
+    return dy
+
+
+def _scan_steps(
+    tableau: ButcherTableau,
+    rhs: RHS,
+    y0: Array,
+    time_grid: Array,
+    *,
+    remat: bool = False,
+    unroll: int = 1,
+    return_trajectory: bool = False,
+):
+    t0s = time_grid[:-1]
+    dts = time_grid[1:] - time_grid[:-1]
+
+    def body(y, t_dt):
+        t, dt = t_dt
+        y1 = y + rk_step(tableau, rhs, y, t, dt)
+        return y1, (y1 if return_trajectory else None)
+
+    if remat:
+        body = jax.checkpoint(body)
+    y_final, ys = lax.scan(body, y0, (t0s, dts), unroll=unroll)
+    return y_final, ys
+
+
+def odeint_grid(
+    tableau: ButcherTableau,
+    rhs: RHS,
+    y0: Array,
+    time_grid: Array,
+    *,
+    remat: bool = False,
+    unroll: int = 1,
+) -> Array:
+    """Integrate over an explicit grid; returns trajectory at every grid point,
+    shape ``(len(grid), *y0.shape)`` (grid[0] row is y0 itself)."""
+    _, ys = _scan_steps(
+        tableau, rhs, y0, time_grid, remat=remat, unroll=unroll,
+        return_trajectory=True,
+    )
+    return jnp.concatenate([y0[None], ys], axis=0)
+
+
+def odeint_final(
+    tableau: ButcherTableau,
+    rhs: RHS,
+    y0: Array,
+    t0: float = 0.0,
+    t1: float = 1.0,
+    *,
+    n_steps: Optional[int] = None,
+    step_size: Optional[float] = None,
+    time_grid: Optional[Array] = None,
+    remat: bool = False,
+    unroll: int = 1,
+) -> Array:
+    """Integrate and return only y(t1) — the model hot path.
+
+    The reference always materializes the stacked trajectory and takes
+    ``y[-1]`` (odenet layers.py:50); returning only the carry avoids the
+    O(n_steps) HBM trajectory buffer entirely.
+    """
+    if time_grid is None:
+        time_grid = make_time_grid(
+            t0, t1, n_steps=n_steps, step_size=step_size,
+            dtype=jnp.result_type(jnp.asarray(y0).dtype, jnp.float32),
+        )
+    y_final, _ = _scan_steps(
+        tableau, rhs, y0, time_grid, remat=remat, unroll=unroll,
+        return_trajectory=False,
+    )
+    return y_final
+
+
+def odeint(
+    tableau: ButcherTableau,
+    rhs: RHS,
+    y0: Array,
+    t: Union[Array, Sequence[float]],
+    *,
+    n_steps: Optional[int] = None,
+    step_size: Optional[float] = None,
+    time_grid: Optional[Array] = None,
+    remat: bool = False,
+    unroll: int = 1,
+) -> Array:
+    """Reference-parity integrate: returns solution at requested times ``t``.
+
+    Matches ``RKParametricSolver.integrate`` (rk_parametric.py:89-123):
+    integrates on the solver grid, then linearly interpolates onto each
+    requested output time; output shape ``(len(t), *y0.shape)``.
+    When neither ``n_steps``/``step_size``/``time_grid`` is given the grid is
+    the requested times themselves (rk_parametric.py:20).
+    """
+    t = jnp.asarray(t, dtype=jnp.result_type(jnp.asarray(y0).dtype, jnp.float32))
+    if time_grid is None:
+        if n_steps is None and step_size is None:
+            time_grid = t
+        else:
+            time_grid = make_time_grid(
+                float(t[0]), float(t[-1]),
+                n_steps=n_steps, step_size=step_size, dtype=t.dtype,
+            )
+    ys = odeint_grid(tableau, rhs, y0, time_grid, remat=remat, unroll=unroll)
+
+    # Vectorized linear interpolation of each requested time onto the grid
+    # (reference ``_linear_interp``, rk_parametric.py:116-123).
+    idx = jnp.clip(jnp.searchsorted(time_grid, t, side="left"), 1,
+                   time_grid.shape[0] - 1)
+    t_lo = time_grid[idx - 1]
+    t_hi = time_grid[idx]
+    y_lo = ys[idx - 1]
+    y_hi = ys[idx]
+    frac = (t - t_lo) / (t_hi - t_lo)
+    # Exact endpoints (t == grid point) take the grid value with no roundoff.
+    frac = jnp.where(t == t_hi, jnp.ones_like(frac), frac)
+    frac = jnp.where(t == t_lo, jnp.zeros_like(frac), frac)
+    bshape = (t.shape[0],) + (1,) * (ys.ndim - 1)
+    frac = frac.reshape(bshape)
+    return y_lo + (y_hi - y_lo) * frac
