@@ -1,0 +1,23 @@
+"""Adversarial attack library (MegaAdversarial parity: Clean, FGSM,
+FGSMRandom, PGD, FGSM2Ensemble) as pure jittable functions."""
+from .attacks import (
+    clean,
+    cross_entropy,
+    fgsm,
+    fgsm2ensemble,
+    fgsm_random,
+    inv_normalize,
+    normalize,
+    pgd,
+)
+
+__all__ = [
+    "clean",
+    "cross_entropy",
+    "fgsm",
+    "fgsm2ensemble",
+    "fgsm_random",
+    "inv_normalize",
+    "normalize",
+    "pgd",
+]
