@@ -1,0 +1,27 @@
+"""Data layer: on-disk MNIST/CIFAR-10 readers, synthetic fallback,
+torchvision-parity augmentation, batching."""
+from .datasets import (
+    CIFAR10_MEAN,
+    CIFAR10_STD,
+    Dataset,
+    augment_batch,
+    batch_iterator,
+    inf_generator,
+    load_cifar10,
+    load_mnist,
+    synthetic_dataset,
+    train_val_split,
+)
+
+__all__ = [
+    "CIFAR10_MEAN",
+    "CIFAR10_STD",
+    "Dataset",
+    "augment_batch",
+    "batch_iterator",
+    "inf_generator",
+    "load_cifar10",
+    "load_mnist",
+    "synthetic_dataset",
+    "train_val_split",
+]

@@ -1,0 +1,75 @@
+"""Uniform model interface for the training/eval engine.
+
+A ``Model`` bundles ``init(key) -> (params, state)`` and a uniform
+``apply(params, state, x, solvers, solver_options, *, key, train, ss_loss,
+ss_loss_abs, remat, unroll) -> (logits, new_state, aux)`` regardless of the
+underlying family (the MNIST net is stateless; its adapter threads an empty
+state dict).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+
+from .odenet_cifar10 import CifarConfig, apply_cifar, init_cifar
+from .odenet_mnist import MnistConfig, apply_mnist, init_mnist
+
+Array = jax.Array
+
+__all__ = ["Model", "make_mnist_model", "make_cifar_model", "build_model"]
+
+
+@dataclass(frozen=True)
+class Model:
+    init: Callable[[Array], Tuple[Any, Any]]
+    apply: Callable[..., Tuple[Array, Any, Dict[str, Array]]]
+    cfg: Any
+    input_shape: Tuple[int, int, int]  # (H, W, C)
+
+
+def make_mnist_model(cfg: MnistConfig = MnistConfig()) -> Model:
+    def init(key):
+        return init_mnist(key, cfg), {}
+
+    def apply(params, state, x, solvers=None, solver_options=None, *,
+              key=None, train=False, ss_loss=False, ss_loss_abs=False,
+              remat=False, unroll=1):
+        del train  # MNIST net is stateless (GN only)
+        logits, aux = apply_mnist(
+            params, x, solvers, solver_options, cfg=cfg, key=key,
+            ss_loss=ss_loss, ss_loss_abs=ss_loss_abs, remat=remat,
+            unroll=unroll,
+        )
+        return logits, state, aux
+
+    return Model(init=init, apply=apply, cfg=cfg,
+                 input_shape=(28, 28, cfg.in_channels))
+
+
+def make_cifar_model(cfg: CifarConfig = CifarConfig()) -> Model:
+    def init(key):
+        return init_cifar(key, cfg)
+
+    def apply(params, state, x, solvers=None, solver_options=None, *,
+              key=None, train=False, ss_loss=False, ss_loss_abs=False,
+              remat=False, unroll=1):
+        return apply_cifar(
+            params, state, x, solvers, solver_options, cfg=cfg, key=key,
+            train=train, ss_loss=ss_loss, ss_loss_abs=ss_loss_abs,
+            remat=remat, unroll=unroll,
+        )
+
+    return Model(init=init, apply=apply, cfg=cfg, input_shape=(32, 32, 3))
+
+
+def build_model(name: str, **overrides) -> Model:
+    """Registry entry point: 'mnist' or any metanode*/premetanode* name."""
+    if name == "mnist":
+        return make_mnist_model(MnistConfig(**overrides))
+    from .odenet_cifar10 import MODEL_REGISTRY
+
+    if name in MODEL_REGISTRY:
+        return make_cifar_model(MODEL_REGISTRY[name](**overrides))
+    raise ValueError(f"unknown model {name!r}")

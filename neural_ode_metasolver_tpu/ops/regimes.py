@@ -73,6 +73,8 @@ def meta_integrate(
     """
     n = len(solvers)
     mode = options.solver_mode
+    if mode not in ("standalone", "switch", "ensemble"):
+        raise ValueError(f"unknown solver_mode {mode!r}")
     aux: Dict[str, Any] = {}
 
     if mode == "standalone" or n == 1:

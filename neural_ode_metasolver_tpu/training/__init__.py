@@ -1,0 +1,47 @@
+"""Training/eval engine: jitted train step, optimizers, schedules, eval
+harness, metrics, checkpointing."""
+from .checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from .evaluate import (
+    accuracy,
+    accuracy_ensemble,
+    adversarial_accuracy,
+    adversarial_accuracy_ensemble,
+    sn_test,
+)
+from .metrics import RunningAverageMeter, nfe_per_forward, nfe_per_solve
+from .optimizers import make_optimizer
+from .schedules import constant_lr, cyclic_lr, learning_rate_with_decay
+from .train import (
+    AttackConfig,
+    LossConfig,
+    NoiseConfig,
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+__all__ = [
+    "latest_step",
+    "restore_checkpoint",
+    "save_checkpoint",
+    "accuracy",
+    "accuracy_ensemble",
+    "adversarial_accuracy",
+    "adversarial_accuracy_ensemble",
+    "sn_test",
+    "RunningAverageMeter",
+    "nfe_per_forward",
+    "nfe_per_solve",
+    "make_optimizer",
+    "constant_lr",
+    "cyclic_lr",
+    "learning_rate_with_decay",
+    "AttackConfig",
+    "LossConfig",
+    "NoiseConfig",
+    "TrainState",
+    "create_train_state",
+    "make_eval_step",
+    "make_train_step",
+]

@@ -1,0 +1,73 @@
+"""Checkpoint / resume via orbax.
+
+Supersedes the reference's three torch.save formats (SURVEY.md §5): one
+orbax checkpoint holds the full TrainState pytree (params, model state,
+optimizer state, step) plus a JSON config sidecar with the solver spec, so
+evaluation can reconstruct solvers exactly as ``attacks_runner.py:65`` does
+from saved ``args``.  Unlike the reference (save-only), restore is wired.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from .train import TrainState
+
+__all__ = ["save_checkpoint", "restore_checkpoint", "latest_step"]
+
+
+def _ckpt_dir(base: str, step: int) -> str:
+    return os.path.join(os.path.abspath(base), f"step_{step:08d}")
+
+
+def save_checkpoint(
+    base_dir: str,
+    ts: TrainState,
+    config: Optional[Dict[str, Any]] = None,
+):
+    step = int(ts.step)
+    path = _ckpt_dir(base_dir, step)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.join(path, "state"), ts, force=True)
+    ckptr.wait_until_finished()
+    if config is not None:
+        with open(os.path.join(path, "config.json"), "w") as f:
+            json.dump(config, f, indent=2, default=str)
+    return path
+
+
+def latest_step(base_dir: str) -> Optional[int]:
+    if not os.path.isdir(base_dir):
+        return None
+    steps = []
+    for name in os.listdir(base_dir):
+        if name.startswith("step_"):
+            try:
+                steps.append(int(name[5:]))
+            except ValueError:
+                pass
+    return max(steps) if steps else None
+
+
+def restore_checkpoint(
+    base_dir: str, target: TrainState, step: Optional[int] = None
+):
+    """Restore a TrainState (``target`` provides the pytree structure /
+    shapes, e.g. a freshly created state).  Returns (state, config|None)."""
+    if step is None:
+        step = latest_step(base_dir)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {base_dir}")
+    path = _ckpt_dir(base_dir, step)
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(os.path.join(path, "state"), target)
+    cfg_path = os.path.join(path, "config.json")
+    config = None
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            config = json.load(f)
+    return restored, config

@@ -1,0 +1,220 @@
+"""Evaluation harness: clean / adversarial / ensemble accuracies + sn_test.
+
+Parity targets:
+  * ``accuracy`` — odenet_mnist/metrics.py:9-24 (normalized by total samples)
+  * ``adversarial_accuracy`` — train_and_attack.py:212-243 / notebook cell 10
+  * ``accuracy_ensemble`` / ``adversarial_accuracy_ensemble`` — model
+    ensembling by softmax-prob averaging over (model, solver) pairs, attacked
+    jointly with FGSM2Ensemble (cifar10 Evaluate nb cell 25; fgsm.py:121-155)
+  * ``sn_test`` — re-evaluate a trained model under different step counts
+    (odenet_mnist/metrics.py:27-41): grid size is a late-bound eval knob, each
+    step count triggering one fresh jit specialization.
+"""
+from __future__ import annotations
+
+from typing import Iterable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..attacks import fgsm, fgsm2ensemble, pgd
+from ..models.api import Model
+from ..ops.regimes import SolverOptions
+from ..ops.solver import ParametricSolver
+from .train import AttackConfig, make_eval_step
+
+Array = jax.Array
+
+__all__ = [
+    "accuracy",
+    "adversarial_accuracy",
+    "accuracy_ensemble",
+    "adversarial_accuracy_ensemble",
+    "sn_test",
+]
+
+
+def _iterate(data):
+    for batch in data:
+        yield batch
+
+
+def accuracy(
+    model: Model,
+    params,
+    state,
+    solvers: Sequence[ParametricSolver],
+    solver_options: SolverOptions,
+    data: Iterable[Tuple[np.ndarray, np.ndarray]],
+    key: Optional[Array] = None,
+) -> float:
+    predict = make_eval_step(model, solvers, solver_options)
+    correct = 0
+    total = 0
+    for x, y in _iterate(data):
+        if key is not None:
+            key, sub = jax.random.split(key)
+        else:
+            sub = None
+        logits = predict(params, state, jnp.asarray(x), sub)
+        correct += int(jnp.sum(jnp.argmax(logits, -1) == jnp.asarray(y)))
+        total += int(np.asarray(y).shape[0])
+    return correct / max(total, 1)
+
+
+def adversarial_accuracy(
+    model: Model,
+    params,
+    state,
+    solvers: Sequence[ParametricSolver],
+    solver_options: SolverOptions,
+    data: Iterable[Tuple[np.ndarray, np.ndarray]],
+    attack_cfg: AttackConfig,
+    key: Array,
+) -> float:
+    """Attack every batch, then no-grad forward (train_and_attack.py:212-243)."""
+
+    @jax.jit
+    def attacked_logits(params, state, x, y, k_attack, k_fwd):
+        def fwd(xi):
+            logits, _, _ = model.apply(
+                params, state, xi, solvers, solver_options, key=k_fwd,
+                train=False,
+            )
+            return logits
+
+        if attack_cfg.mode == "fgsm":
+            xa, _ = fgsm(fwd, x, y, attack_cfg.eps, attack_cfg.mean,
+                         attack_cfg.std)
+        elif attack_cfg.mode == "at":
+            xa, _ = pgd(
+                fwd, k_attack, x, y, attack_cfg.eps, attack_cfg.pgd_lr,
+                attack_cfg.pgd_niter, attack_cfg.pgd_random_start,
+                attack_cfg.mean, attack_cfg.std,
+            )
+        elif attack_cfg.mode == "clean":
+            xa = x
+        else:
+            raise ValueError(attack_cfg.mode)
+        return fwd(xa)
+
+    correct = 0
+    total = 0
+    for x, y in _iterate(data):
+        key, k_attack, k_fwd = jax.random.split(key, 3)
+        logits = attacked_logits(
+            params, state, jnp.asarray(x), jnp.asarray(y), k_attack, k_fwd
+        )
+        correct += int(jnp.sum(jnp.argmax(logits, -1) == jnp.asarray(y)))
+        total += int(np.asarray(y).shape[0])
+    return correct / max(total, 1)
+
+
+def _ensemble_members(model, members):
+    """members: list of (params, state, solvers, solver_options)."""
+
+    def make_fwd(params, state, solvers, options, k):
+        def fwd(xi):
+            logits, _, _ = model.apply(
+                params, state, xi, solvers, options, key=k, train=False
+            )
+            return logits
+
+        return fwd
+
+    return make_fwd
+
+
+def accuracy_ensemble(
+    model: Model,
+    members: Sequence[Tuple],
+    data,
+    key: Optional[Array] = None,
+) -> float:
+    """Softmax-prob-averaged ensemble accuracy (Evaluate nb cell 25).
+
+    ``members``: list of (params, state, solvers, solver_options)."""
+    make_fwd = _ensemble_members(model, members)
+
+    @jax.jit
+    def probs_fn(x, keys):
+        probs = None
+        for (params, state, solvers, options), k in zip(members, keys):
+            p = jax.nn.softmax(
+                make_fwd(params, state, solvers, options, k)(x), axis=-1
+            )
+            probs = p if probs is None else probs + p
+        return probs / len(members)
+
+    correct = 0
+    total = 0
+    for x, y in _iterate(data):
+        if key is not None:
+            key, *subs = jax.random.split(key, len(members) + 1)
+            subs = list(subs)
+        else:
+            subs = [None] * len(members)
+        probs = probs_fn(jnp.asarray(x), subs)
+        correct += int(jnp.sum(jnp.argmax(probs, -1) == jnp.asarray(y)))
+        total += int(np.asarray(y).shape[0])
+    return correct / max(total, 1)
+
+
+def adversarial_accuracy_ensemble(
+    model: Model,
+    members: Sequence[Tuple],
+    data,
+    attack_cfg: AttackConfig,
+    key: Array,
+) -> float:
+    """FGSM2Ensemble attack + prob-averaged eval (nb cell 25; fgsm.py:109-155)."""
+    make_fwd = _ensemble_members(model, members)
+
+    @jax.jit
+    def attacked_probs(x, y, keys):
+        fwds = [
+            make_fwd(params, state, solvers, options, k)
+            for (params, state, solvers, options), k in zip(members, keys)
+        ]
+        xa, _ = fgsm2ensemble(fwds, x, y, attack_cfg.eps, attack_cfg.mean,
+                              attack_cfg.std)
+        probs = None
+        for fwd in fwds:
+            p = jax.nn.softmax(fwd(xa), axis=-1)
+            probs = p if probs is None else probs + p
+        return probs / len(fwds)
+
+    correct = 0
+    total = 0
+    for x, y in _iterate(data):
+        key, *subs = jax.random.split(key, len(members) + 1)
+        probs = attacked_probs(jnp.asarray(x), jnp.asarray(y), list(subs))
+        correct += int(jnp.sum(jnp.argmax(probs, -1) == jnp.asarray(y)))
+        total += int(np.asarray(y).shape[0])
+    return correct / max(total, 1)
+
+
+def sn_test(
+    model: Model,
+    params,
+    state,
+    solver: ParametricSolver,
+    solver_options: SolverOptions,
+    data_factory,
+    nsteps_grid: Sequence[int],
+    key: Optional[Array] = None,
+):
+    """Step-count robustness sweep (odenet_mnist/metrics.py:27-41).
+
+    ``data_factory()`` must return a fresh iterable per evaluation.  Returns
+    the accuracy list aligned with ``nsteps_grid``.
+    """
+    accs = []
+    for n in nsteps_grid:
+        s = solver.replace(n_steps=int(n), step_size=None)
+        accs.append(
+            accuracy(model, params, state, [s], solver_options,
+                     data_factory(), key)
+        )
+    return accs

@@ -1,0 +1,75 @@
+"""LR schedules with reference parity.
+
+* ``learning_rate_with_decay`` — the MNIST boundary-decay schedule
+  (odenet_mnist/utils.py:7-18): lr0 * batch_size/128, stepped down by
+  ``decay_rates`` at ``boundary_epochs``.
+* ``cyclic_lr`` — torch.optim.lr_scheduler.CyclicLR parity
+  ('triangular'/'triangular2'), the backbone of the flagship 36-epoch CIFAR
+  run (train_and_attack.py:104-108,503-508: base 1e-7, max 0.1,
+  step_size_up 3186, triangular2).
+
+Both return optax-style ``schedule(step) -> lr`` callables usable with
+``optax.scale_by_learning_rate`` / ``optax.inject_hyperparams``.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+
+__all__ = ["learning_rate_with_decay", "cyclic_lr", "constant_lr"]
+
+
+def constant_lr(lr: float):
+    return lambda step: jnp.asarray(lr, jnp.float32)
+
+
+def learning_rate_with_decay(
+    lr0: float,
+    batch_size: int,
+    batches_per_epoch: int,
+    batch_denom: int = 128,
+    boundary_epochs: Sequence[int] = (60, 100, 140),
+    decay_rates: Sequence[float] = (1.0, 0.1, 0.01, 0.001),
+):
+    """Piecewise-constant decay on the *iteration* axis
+    (odenet_mnist/utils.py:7-18)."""
+    initial = lr0 * batch_size / batch_denom
+    boundaries = jnp.asarray(
+        [batches_per_epoch * e for e in boundary_epochs], jnp.int32
+    )
+    vals = jnp.asarray([initial * d for d in decay_rates], jnp.float32)
+
+    def schedule(step):
+        idx = jnp.sum(jnp.asarray(step, jnp.int32) >= boundaries)
+        return vals[idx]
+
+    return schedule
+
+
+def cyclic_lr(
+    base_lr: float,
+    max_lr: float,
+    step_size_up: int,
+    mode: str = "triangular2",
+):
+    """torch CyclicLR (default step_size_down == step_size_up).
+
+    cycle = floor(1 + step / (2 * s)),  x = |step/s - 2*cycle + 1|
+    lr = base + (max-base) * max(0, 1-x) * scale(cycle)
+    scale = 1 (triangular) or 1 / 2^(cycle-1) (triangular2).
+    """
+    if mode not in ("triangular", "triangular2"):
+        raise ValueError(f"unsupported CyclicLR mode {mode!r}")
+    s = float(step_size_up)
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        cycle = jnp.floor(1.0 + step / (2.0 * s))
+        x = jnp.abs(step / s - 2.0 * cycle + 1.0)
+        scale = (
+            1.0 if mode == "triangular" else 1.0 / (2.0 ** (cycle - 1.0))
+        )
+        return base_lr + (max_lr - base_lr) * jnp.maximum(0.0, 1.0 - x) * scale
+
+    return schedule

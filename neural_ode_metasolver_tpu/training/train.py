@@ -1,0 +1,238 @@
+"""The jitted training step: smoothing-noise -> attack -> forward -> update.
+
+One compiled function reproduces the reference's per-iteration recipe
+(examples/cifar10/train_and_attack.py:246-323 / odenet_mnist/train_validate.py:19-115):
+
+  1. [smoothing] perturb each solver's (u, v) around (u0, v0) — per batch
+  2. build the adversarial batch (clean / fgsm / fgsm_random / at=PGD),
+     attacking through the *current* (noised) solvers with the model in eval
+     mode, exactly like the reference's ``model.eval()`` guard
+  3. optional Gaussian data noise
+  4. forward (train mode) + CE loss (+ ss-loss regularizer)
+  5. optax update (wd / clipping / accumulation are inside the optimizer)
+
+"Denoising" the solver params (reference :319-323) is implicit: the noised
+solvers are local to the step; the canonical solver list keeps (u0, v0).
+
+The whole step — including the attack's input-gradient, i.e. nested
+differentiation through two full ODE solves — is traced once and compiled.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..attacks import (
+    clean as clean_attack,
+    cross_entropy,
+    fgsm,
+    fgsm_random,
+    pgd,
+)
+from ..models.api import Model
+from ..ops.noise import noise_solver
+from ..ops.regimes import SolverOptions
+from ..ops.solver import ParametricSolver
+
+Array = jax.Array
+
+__all__ = [
+    "AttackConfig",
+    "NoiseConfig",
+    "LossConfig",
+    "TrainState",
+    "create_train_state",
+    "make_train_step",
+    "make_eval_step",
+]
+
+
+@dataclass(frozen=True)
+class AttackConfig:
+    """Adversarial-training/eval attack settings
+    (train_and_attack.py:130-158 flag set)."""
+
+    mode: str = "clean"  # clean | fgsm | at (=PGD) | fgsm_random
+    eps: float = 8 / 255
+    alpha: float = 10 / 255  # fgsm_random step size
+    pgd_lr: float = 2 / 255
+    pgd_niter: int = 7
+    pgd_random_start: bool = True
+    mean: Optional[Tuple[float, ...]] = None
+    std: Optional[Tuple[float, ...]] = None
+
+
+@dataclass(frozen=True)
+class NoiseConfig:
+    """Solver smoothing (train_and_attack.py:74-79 flags)."""
+
+    noise_type: Optional[str] = None  # None | 'cauchy' | 'normal'
+    sigma: float = 0.001
+    prob: float = 0.0
+    minimize_rk2_error: bool = False
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    ss_loss: bool = False
+    ss_loss_reg: float = 0.1
+    ss_loss_abs: bool = False
+    data_noise_std: float = 0.0
+
+
+class TrainState(struct.PyTreeNode):
+    step: Array
+    params: Any
+    model_state: Any
+    opt_state: Any
+
+
+def create_train_state(
+    model: Model, tx: optax.GradientTransformation, key: Array
+) -> TrainState:
+    params, state = model.init(key)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        model_state=state,
+        opt_state=tx.init(params),
+    )
+
+
+def _noise_solvers(solvers, key, noise_cfg: NoiseConfig):
+    if noise_cfg.noise_type is None:
+        return list(solvers)
+    keys = jax.random.split(key, len(solvers))
+    return [
+        noise_solver(
+            s, k, std=noise_cfg.sigma, bernoulli_p=noise_cfg.prob,
+            noise_type=noise_cfg.noise_type,
+            minimize_rk2_error=noise_cfg.minimize_rk2_error,
+        )
+        for s, k in zip(solvers, keys)
+    ]
+
+
+def _run_attack(model, params, state, solvers, options, attack_cfg,
+                x, y, k_attack, k_fwd, remat, unroll):
+    """Build the adversarial batch.  The attack forward runs in eval mode
+    (reference FGSM/PGD set model.eval(), fgsm.py:23-25)."""
+
+    def fwd(xi):
+        logits, _, _ = model.apply(
+            params, state, xi, solvers, options, key=k_fwd, train=False,
+            remat=remat, unroll=unroll,
+        )
+        return logits
+
+    m = attack_cfg.mode
+    if m == "clean":
+        return clean_attack(x, y)[0]
+    if m == "fgsm":
+        return fgsm(fwd, x, y, attack_cfg.eps, attack_cfg.mean,
+                    attack_cfg.std)[0]
+    if m == "fgsm_random":
+        return fgsm_random(
+            fwd, k_attack, x, y, attack_cfg.eps, attack_cfg.alpha,
+            attack_cfg.mean, attack_cfg.std,
+        )[0]
+    if m == "at":
+        return pgd(
+            fwd, k_attack, x, y, attack_cfg.eps, attack_cfg.pgd_lr,
+            attack_cfg.pgd_niter, attack_cfg.pgd_random_start,
+            attack_cfg.mean, attack_cfg.std,
+        )[0]
+    raise ValueError("Attack type not understood.")
+
+
+def make_train_step(
+    model: Model,
+    tx: optax.GradientTransformation,
+    solvers: Sequence[ParametricSolver],
+    solver_options: SolverOptions = SolverOptions(),
+    attack_cfg: AttackConfig = AttackConfig(),
+    noise_cfg: NoiseConfig = NoiseConfig(),
+    loss_cfg: LossConfig = LossConfig(),
+    *,
+    remat: bool = False,
+    unroll: int = 1,
+    donate: bool = True,
+):
+    """Returns ``step(ts, x, y, key) -> (ts, metrics)`` (jitted)."""
+
+    def step(ts: TrainState, x: Array, y: Array, key: Array):
+        k_noise, k_attack, k_afwd, k_fwd, k_data = jax.random.split(key, 5)
+
+        solvers_t = _noise_solvers(solvers, k_noise, noise_cfg)
+
+        x_adv = _run_attack(
+            model, ts.params, ts.model_state, solvers_t, solver_options,
+            attack_cfg, x, y, k_attack, k_afwd, remat, unroll,
+        )
+
+        if loss_cfg.data_noise_std > 1e-12:
+            x_adv = x_adv + loss_cfg.data_noise_std * jax.random.normal(
+                k_data, x_adv.shape, x_adv.dtype
+            )
+
+        def loss_fn(params):
+            logits, new_state, aux = model.apply(
+                params, ts.model_state, x_adv, solvers_t, solver_options,
+                key=k_fwd, train=True, ss_loss=loss_cfg.ss_loss,
+                ss_loss_abs=loss_cfg.ss_loss_abs, remat=remat, unroll=unroll,
+            )
+            xent = cross_entropy(logits, y)
+            loss = xent
+            if loss_cfg.ss_loss:
+                loss = loss + loss_cfg.ss_loss_reg * aux["ss_loss"]
+            return loss, (new_state, logits, xent, aux["ss_loss"])
+
+        (loss, (new_state, logits, xent, ss)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(ts.params)
+
+        updates, new_opt_state = tx.update(grads, ts.opt_state, ts.params)
+        new_params = optax.apply_updates(ts.params, updates)
+
+        acc = jnp.mean((jnp.argmax(logits, axis=-1) == y).astype(jnp.float32))
+        metrics = {
+            "loss": loss,
+            "xentropy": xent,
+            "ss_loss": ss,
+            "accuracy": acc,
+            "grad_norm": optax.global_norm(grads),
+        }
+        ts = ts.replace(
+            step=ts.step + 1,
+            params=new_params,
+            model_state=new_state,
+            opt_state=new_opt_state,
+        )
+        return ts, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(
+    model: Model,
+    solvers: Sequence[ParametricSolver],
+    solver_options: SolverOptions = SolverOptions(),
+    *,
+    remat: bool = False,
+    unroll: int = 1,
+):
+    """Returns jitted ``predict(params, state, x, key) -> logits``."""
+
+    def predict(params, state, x, key=None):
+        logits, _, _ = model.apply(
+            params, state, x, solvers, solver_options, key=key, train=False,
+            remat=remat, unroll=unroll,
+        )
+        return logits
+
+    return jax.jit(predict)
