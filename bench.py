@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Benchmark: flagship adversarial training step throughput on TPU.
+
+Measures the reference's headline workload (SURVEY.md §3.2 / BASELINE.json):
+premetanode10 (in_planes=64), 8-step RK2 (u=0.5) solver with Normal(0.0125)
+smoothing, FGSM-random adversarial training (eps=8/255, alpha=10/255),
+batch 256 CIFAR-shaped inputs — i.e. per step: one attack forward+backward
+plus one training forward+backward, each integrating 2 ODE blocks x 8 steps
+x 2 RHS stages (NFE-F 64/sample/step counting both passes' forwards).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` compares against bench_baseline.json when present (written on
+first run) so rounds are comparable; 1.0 otherwise.
+
+The reference publishes no throughput numbers (single unspecified NVIDIA GPU,
+SURVEY.md §6), so the baseline is our own round-over-round record.
+"""
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BATCH = 256
+STEPS = 20
+
+
+def main():
+    from neural_ode_metasolver_tpu.data import CIFAR10_MEAN, CIFAR10_STD
+    from neural_ode_metasolver_tpu.models.api import build_model
+    from neural_ode_metasolver_tpu.ops import SolverOptions, parse_solver_dsl
+    from neural_ode_metasolver_tpu.training import (
+        AttackConfig,
+        NoiseConfig,
+        create_train_state,
+        cyclic_lr,
+        make_optimizer,
+        make_train_step,
+    )
+
+    model = build_model("premetanode10", in_planes=64)
+    solvers = parse_solver_dsl("rk2,u,8,-1,0.5,-1")
+    opts = SolverOptions()
+    tx = make_optimizer("sgd", cyclic_lr(1e-7, 0.1, 3186), momentum=0.9,
+                        weight_decay=5e-4)
+    ts = create_train_state(model, tx, jax.random.key(0))
+    step = make_train_step(
+        model, tx, solvers, opts,
+        attack_cfg=AttackConfig(mode="fgsm_random", eps=8 / 255,
+                                alpha=10 / 255, mean=CIFAR10_MEAN,
+                                std=CIFAR10_STD),
+        noise_cfg=NoiseConfig(noise_type="normal", sigma=0.0125, prob=1.0),
+    )
+
+    x = jax.random.normal(jax.random.key(1), (BATCH, 32, 32, 3), jnp.float32)
+    y = jax.random.randint(jax.random.key(2), (BATCH,), 0, 10)
+
+    # Warmup / compile (block via an actual host transfer — on the remote
+    # platform block_until_ready alone has proven unreliable for timing)
+    ts, m = step(ts, x, y, jax.random.key(10))
+    float(m["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        ts, m = step(ts, x, y, jax.random.key(100 + i))
+    float(m["loss"])  # forces the full dependency chain to completion
+    jax.block_until_ready(ts)
+    dt = (time.perf_counter() - t0) / STEPS
+    img_per_s = BATCH / dt
+
+    base_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
+    vs = 1.0
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f)
+        if base.get("value"):
+            vs = img_per_s / base["value"]
+    else:
+        with open(base_path, "w") as f:
+            json.dump({"metric": "premetanode10_advtrain_img_per_s",
+                       "value": img_per_s}, f)
+
+    print(json.dumps({
+        "metric": "premetanode10_fgsm_random_advtrain_throughput",
+        "value": round(img_per_s, 1),
+        "unit": "img/s",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,146 @@
+"""Device mesh + sharding: the distributed story the reference never had.
+
+The reference is single-process single-GPU (SURVEY.md §2: no DDP/NCCL/MPI
+anywhere); on TPU the equivalent capability is a ``jax.sharding.Mesh`` with
+named axes and ``jit``-compiled collectives over ICI:
+
+  * ``data`` axis  — batch-sharded data parallelism.  Params are replicated;
+    XLA inserts the gradient all-reduce (psum) automatically because the
+    replicated-param gradient of a data-sharded loss *is* a psum.
+  * ``model`` axis — tensor parallelism over conv output channels / FC
+    columns for the wide CIFAR variants; XLA partitions the convs and
+    inserts all-gathers/reduce-scatters where layouts change.
+  * ensemble members (solver/model ensembling, multi-seed sweeps) map onto
+    extra mesh axes via vmap — see parallel/ensemble.py.
+
+Everything works on any mesh shape, including a host-platform virtual mesh
+(``--xla_force_host_platform_device_count=8``) for CI.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_params_tp",
+    "make_parallel_train_step",
+]
+
+
+def make_mesh(
+    axis_sizes: Dict[str, int], devices: Optional[Sequence] = None
+) -> Mesh:
+    """Build a mesh from ``{'data': n, 'model': m, ...}``; sizes must
+    multiply to the device count (use -1 once for 'fill')."""
+    devices = list(devices if devices is not None else jax.devices())
+    names = list(axis_sizes.keys())
+    sizes = list(axis_sizes.values())
+    if -1 in sizes:
+        known = int(np.prod([s for s in sizes if s != -1]))
+        sizes[sizes.index(-1)] = len(devices) // known
+    if int(np.prod(sizes)) != len(devices):
+        raise ValueError(
+            f"mesh {dict(zip(names, sizes))} != {len(devices)} devices"
+        )
+    arr = np.asarray(devices).reshape(sizes)
+    return Mesh(arr, names)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dim over ``axis``."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _tp_spec_for(path_leaf: jax.Array, axis: str, size: int):
+    """Choose a tensor-parallel PartitionSpec for one param leaf.
+
+    Conv kernels (H, W, I, O) and linear kernels (I, O) shard the output
+    dim when divisible; 1-D params (bias/scale) shard their only dim when
+    divisible.  Everything else replicates.
+    """
+    shp = path_leaf.shape
+    if len(shp) == 4 and shp[3] % size == 0:
+        return P(None, None, None, axis)
+    if len(shp) == 2 and shp[1] % size == 0:
+        return P(None, axis)
+    if len(shp) == 1 and shp[0] % size == 0:
+        return P(axis)
+    return P()
+
+
+def shard_params_tp(params, mesh: Mesh, axis: str = "model"):
+    """NamedSharding tree for tensor-parallel params over ``axis``.
+
+    Returns a pytree of shardings matching ``params``; leaves that can't be
+    evenly split are replicated.  Use with
+    ``jax.device_put(params, shardings)`` or as jit in_shardings.
+    """
+    size = mesh.shape[axis]
+    return jax.tree_util.tree_map(
+        lambda leaf: NamedSharding(mesh, _tp_spec_for(leaf, axis, size)),
+        params,
+    )
+
+
+def make_parallel_train_step(
+    step_fn,
+    mesh: Mesh,
+    ts_template,
+    *,
+    data_axis: str = "data",
+    model_axis: Optional[str] = None,
+):
+    """Wrap a ``step(ts, x, y, key) -> (ts, metrics)`` into a mesh-sharded jit.
+
+    Batch is sharded over ``data_axis``; the TrainState params/opt-state are
+    tensor-parallel over ``model_axis`` when given (else replicated).  The
+    returned callable also returns sharded outputs so successive steps stay
+    resident with no host round-trips.
+    """
+    if model_axis is not None:
+        param_sh = shard_params_tp(ts_template.params, mesh, model_axis)
+
+        def state_shardings(ts):
+            def opt_leaf(leaf):
+                # opt-state leaves mirroring param shapes shard identically
+                return NamedSharding(
+                    mesh, _tp_spec_for(leaf, model_axis, mesh.shape[model_axis])
+                ) if hasattr(leaf, "shape") else NamedSharding(mesh, P())
+
+            return ts.replace(
+                step=NamedSharding(mesh, P()),
+                params=param_sh,
+                model_state=jax.tree_util.tree_map(
+                    lambda _: NamedSharding(mesh, P()), ts.model_state
+                ),
+                opt_state=jax.tree_util.tree_map(opt_leaf, ts.opt_state),
+            )
+
+        ts_sh = state_shardings(ts_template)
+    else:
+        ts_sh = jax.tree_util.tree_map(
+            lambda _: replicated(mesh), ts_template
+        )
+
+    x_sh = batch_sharding(mesh, data_axis)
+    y_sh = batch_sharding(mesh, data_axis)
+    key_sh = replicated(mesh)
+
+    metrics_sh = replicated(mesh)
+
+    return jax.jit(
+        step_fn,
+        in_shardings=(ts_sh, x_sh, y_sh, key_sh),
+        out_shardings=(ts_sh, metrics_sh),
+    )

@@ -1,0 +1,208 @@
+"""CIFAR-10 train+attack CLI — flag parity with
+examples/cifar10/train_and_attack.py (the flagship experiment driver).
+
+Flagship reproduction:
+  python -m neural_ode_metasolver_tpu.runners.cifar_runner \
+      --network premetanode10 --solvers "rk2,u,8,-1,0.5,-1" \
+      --adv_training_mode fgsm_random --noise_type normal \
+      --noise_sigma 0.0125 --noise_prob 1.0 --nepochs 36 \
+      --data_root /path/to/cifar   # or omit for synthetic data
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+
+from ..data import (
+    CIFAR10_MEAN,
+    CIFAR10_STD,
+    batch_iterator,
+    load_cifar10,
+    synthetic_dataset,
+    train_val_split,
+)
+from ..models.api import build_model
+from ..ops import parse_solver_dsl
+from ..training import cyclic_lr, make_optimizer
+from ..utils import count_parameters, fix_seeds, get_logger
+from .common import fit
+
+NETWORKS = [
+    "metanode34", "metanode18", "metanode10", "metanode6", "metanode4",
+    "premetanode34", "premetanode18", "premetanode10", "premetanode6",
+    "premetanode4",
+]
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    # architecture (train_and_attack.py:40-45, 161-182)
+    p.add_argument("--is_odenet", type=eval, default=True,
+                   choices=[True, False])
+    p.add_argument("--network", type=str, choices=NETWORKS,
+                   default="premetanode10")
+    p.add_argument("--in_planes", type=int, default=64)
+    p.add_argument("--normalization_resblock", type=str, default="NF",
+                   choices=["BN", "GN", "LN", "IN", "NF"])
+    p.add_argument("--normalization_odeblock", type=str, default="NF",
+                   choices=["BN", "GN", "LN", "IN", "NF"])
+    p.add_argument("--normalization_bn1", type=str, default="NF",
+                   choices=["BN", "GN", "LN", "IN", "NF"])
+    p.add_argument("--num_gn_groups", type=int, default=32)
+    p.add_argument("--param_normalization_resblock", type=str, default="PNF",
+                   choices=["WN", "SN", "PNF"])
+    p.add_argument("--param_normalization_odeblock", type=str, default="PNF",
+                   choices=["WN", "SN", "PNF"])
+    p.add_argument("--param_normalization_bn1", type=str, default="PNF",
+                   choices=["WN", "SN", "PNF"])
+    p.add_argument("--activation_resblock", type=str, default="GeLU",
+                   choices=["ReLU", "GeLU", "Softsign", "Tanh", "AF"])
+    p.add_argument("--activation_odeblock", type=str, default="GeLU",
+                   choices=["ReLU", "GeLU", "Softsign", "Tanh", "AF"])
+    p.add_argument("--activation_bn1", type=str, default="GeLU",
+                   choices=["ReLU", "GeLU", "Softsign", "Tanh", "AF"])
+    p.add_argument("--init", type=str, default=None,
+                   help="None or 'orthogonal'")
+    # solver / regime (train_and_attack.py:48-79)
+    p.add_argument("--solvers", type=str, default="rk2,u,8,-1,0.5,-1")
+    p.add_argument("--solver_mode", type=str, default="standalone",
+                   choices=["switch", "ensemble", "standalone"])
+    p.add_argument("--val_solver_modes",
+                   type=lambda s: s.strip().split(","),
+                   default=["standalone"])
+    p.add_argument("--switch_probs",
+                   type=lambda s: [float(i) for i in s.split(",")],
+                   default=None)
+    p.add_argument("--ensemble_weights",
+                   type=lambda s: [float(i) for i in s.split(",")],
+                   default=None)
+    p.add_argument("--ensemble_prob", type=float, default=1.0)
+    p.add_argument("--noise_type", type=str, default=None,
+                   choices=[None, "cauchy", "normal"])
+    p.add_argument("--noise_sigma", type=float, default=0.001)
+    p.add_argument("--noise_prob", type=float, default=0.0)
+    p.add_argument("--minimize_rk2_error", type=eval, default=False,
+                   choices=[True, False])
+    # training (train_and_attack.py:83-119)
+    p.add_argument("--seed", type=int, default=602)
+    p.add_argument("--nepochs", "--nepochs_nn", dest="nepochs", type=int,
+                   default=36)
+    p.add_argument("--data_aug", type=eval, default=True,
+                   choices=[True, False])
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--test_batch_size", type=int, default=256)
+    p.add_argument("--val_perc", type=float, default=0.1)
+    p.add_argument("--optim", type=str, default="sgd",
+                   choices=["sgd", "rmsprop", "adam"])
+    p.add_argument("--weight_decay", type=float, default=0.0005)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--zero_grad_every", type=int, default=1)
+    p.add_argument("--base_lr", type=float, default=1e-7)
+    p.add_argument("--max_lr", type=float, default=0.1)
+    p.add_argument("--step_size_up", type=int, default=3186)
+    p.add_argument("--cyclic_lr_mode", type=str, default="triangular2")
+    p.add_argument("--grad_clipping_threshold", type=float, default=None)
+    # adversarial (train_and_attack.py:130-158)
+    p.add_argument("--data_noise_std", type=float, default=0.0)
+    p.add_argument("--adv_training_mode", default="clean",
+                   choices=["clean", "fgsm", "at", "fgsm_random"])
+    p.add_argument("--eps_adv_training", type=float, default=8 / 255)
+    p.add_argument("--fgsm_random_step_size_training", type=float,
+                   default=10 / 255)
+    p.add_argument("--pgd_lr_training", type=float, default=2 / 255)
+    p.add_argument("--pgd_niter_training", type=int, default=7)
+    p.add_argument("--ss_loss", type=eval, default=False,
+                   choices=[True, False])
+    p.add_argument("--ss_loss_reg", type=float, default=0.1)
+    p.add_argument("--adv_testing_mode", default="clean",
+                   choices=["clean", "fgsm", "at"])
+    p.add_argument("--eps_adv_testing", type=float, default=8 / 255)
+    p.add_argument("--pgd_lr_testing", type=float, default=2 / 255)
+    p.add_argument("--pgd_niter_testing", type=int, default=7)
+    # io
+    p.add_argument("--data_root", type=str, default=None)
+    p.add_argument("--save_dir", type=str, default="./experiment_cifar")
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--synthetic_train_size", type=int, default=8192)
+    p.add_argument("--synthetic_test_size", type=int, default=1024)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    fix_seeds(args.seed)
+    logger = get_logger(
+        os.path.join(args.save_dir, "logs"), debug=args.debug, name="cifar"
+    )
+    logger.info(str(vars(args)))
+
+    solvers = parse_solver_dsl(args.solvers)
+    model = build_model(
+        args.network,
+        is_odenet=args.is_odenet,
+        in_planes=args.in_planes,
+        norms=(args.normalization_resblock, args.normalization_odeblock,
+               args.normalization_bn1),
+        num_gn_groups=args.num_gn_groups,
+        param_norms=(args.param_normalization_resblock,
+                     args.param_normalization_odeblock,
+                     args.param_normalization_bn1),
+        acts=(args.activation_resblock, args.activation_odeblock,
+              args.activation_bn1),
+    )
+    params, _ = model.init(jax.random.key(0))
+    logger.info(f"Number of parameters: {count_parameters(params)}")
+
+    args.data_mean = CIFAR10_MEAN
+    args.data_std = CIFAR10_STD
+
+    if args.data_root:
+        full_train = load_cifar10(args.data_root, train=True)
+        test_ds = load_cifar10(args.data_root, train=False)
+    else:
+        logger.warning("no --data_root: falling back to synthetic data")
+        full_train = synthetic_dataset(args.synthetic_train_size, (32, 32, 3), seed=args.seed)
+        test_ds = synthetic_dataset(args.synthetic_test_size, (32, 32, 3), seed=args.seed + 1)
+    train_ds, val_ds = train_val_split(full_train, args.val_perc,
+                                      seed=args.seed)
+
+    crop = 4 if args.data_aug else 0
+
+    def train_data(epoch):
+        return batch_iterator(
+            train_ds, args.batch_size, seed=args.seed + epoch,
+            crop_padding=crop, hflip=True,
+            mean=CIFAR10_MEAN, std=CIFAR10_STD,
+        )
+
+    def eval_data():
+        return batch_iterator(
+            val_ds, args.test_batch_size, shuffle=False,
+            mean=CIFAR10_MEAN, std=CIFAR10_STD,
+        )
+
+    def test_data():
+        return batch_iterator(
+            test_ds, args.test_batch_size, shuffle=False,
+            mean=CIFAR10_MEAN, std=CIFAR10_STD,
+        )
+
+    sched = cyclic_lr(args.base_lr, args.max_lr, args.step_size_up,
+                      args.cyclic_lr_mode)
+    tx = make_optimizer(
+        args.optim, sched, momentum=args.momentum,
+        weight_decay=args.weight_decay,
+        grad_clip=args.grad_clipping_threshold,
+        every_k=args.zero_grad_every,
+    )
+
+    config = {"args": vars(args), "solvers": args.solvers,
+              "model": args.network}
+    fit(model, solvers, tx, args, logger, train_data, eval_data,
+        test_data_factory=test_data, config=config)
+
+
+if __name__ == "__main__":
+    main()

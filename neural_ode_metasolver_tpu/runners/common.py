@@ -1,0 +1,207 @@
+"""Shared runner engine: the epoch loop + multi-regime validation.
+
+Functional re-design of ``odenet_mnist/train_validate.py`` (train :19,
+validate :250, validate_standalone :118, validate_ensemble_switch :186) and
+the inline loop of ``examples/cifar10/train_and_attack.py:511-564``:
+
+  * per-iteration: one jitted train step (smoothing -> attack -> update)
+  * per-epoch: for each mode in ``val_solver_modes`` —
+      'standalone': per-solver accuracy, best checkpoint per solver id
+      'switch'/'ensemble': single accuracy under that regime, best checkpoint
+  * optional adversarial test accuracy (adv_testing_mode != clean)
+  * orbax checkpoints carry the full TrainState + config (incl. the solver
+    DSL string) so eval can reconstruct solvers like attacks_runner.py:65.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.api import Model
+from ..ops import SolverOptions
+from ..ops.solver import ParametricSolver
+from ..training import (
+    AttackConfig,
+    LossConfig,
+    NoiseConfig,
+    RunningAverageMeter,
+    TrainState,
+    accuracy,
+    adversarial_accuracy,
+    create_train_state,
+    make_train_step,
+    nfe_per_forward,
+    save_checkpoint,
+)
+
+__all__ = ["fit", "validate", "build_solver_options"]
+
+
+def build_solver_options(args) -> SolverOptions:
+    return SolverOptions(
+        solver_mode=getattr(args, "solver_mode", "standalone"),
+        switch_probs=getattr(args, "switch_probs", None),
+        ensemble_prob=getattr(args, "ensemble_prob", 1.0),
+        ensemble_weights=getattr(args, "ensemble_weights", None),
+    )
+
+
+def validate(
+    model: Model,
+    ts: TrainState,
+    solvers: Sequence[ParametricSolver],
+    args,
+    eval_data_factory: Callable,
+    key: jax.Array,
+    logger,
+    best: dict,
+    save_dir: Optional[str],
+    config: dict,
+    epoch: int,
+):
+    """Run every requested validation mode; update ``best`` and write
+    checkpoints on improvement (train_validate.py:250-342 semantics)."""
+    for mode in getattr(args, "val_solver_modes", ["standalone"]):
+        if mode == "standalone":
+            for i, s in enumerate(solvers):
+                acc = accuracy(
+                    model, ts.params, ts.model_state, [s],
+                    SolverOptions(solver_mode="standalone"),
+                    eval_data_factory(),
+                )
+                logger.info(
+                    f"epoch {epoch} | standalone solver {i} "
+                    f"(u0={s.u0}) acc {acc:.4f}"
+                )
+                tag = f"standalone_{i}"
+                if acc > best.get(tag, 0.0):
+                    best[tag] = acc
+                    if save_dir:
+                        save_checkpoint(
+                            os.path.join(save_dir, f"best_solver_{i}"),
+                            ts, {**config, "val_acc": acc, "solver_id": i},
+                        )
+        elif mode in ("switch", "ensemble"):
+            opts = SolverOptions(
+                solver_mode=mode,
+                switch_probs=getattr(args, "switch_probs", None),
+                ensemble_prob=getattr(args, "ensemble_prob", 1.0),
+                ensemble_weights=getattr(args, "ensemble_weights", None),
+            )
+            key, sub = jax.random.split(key)
+            acc = accuracy(
+                model, ts.params, ts.model_state, solvers, opts,
+                eval_data_factory(), key=sub,
+            )
+            logger.info(f"epoch {epoch} | {mode} acc {acc:.4f}")
+            if acc > best.get(mode, 0.0):
+                best[mode] = acc
+                if save_dir:
+                    save_checkpoint(
+                        os.path.join(save_dir, f"best_{mode}"),
+                        ts, {**config, "val_acc": acc},
+                    )
+        else:
+            raise ValueError(f"unknown val solver mode {mode!r}")
+    return best
+
+
+def fit(
+    model: Model,
+    solvers: Sequence[ParametricSolver],
+    tx,
+    args,
+    logger,
+    train_data_factory: Callable,  # (epoch) -> iterator of (x, y)
+    eval_data_factory: Callable,  # () -> iterator
+    test_data_factory: Optional[Callable] = None,
+    config: Optional[dict] = None,
+) -> TrainState:
+    """The end-to-end training driver shared by the MNIST/CIFAR CLIs."""
+    key = jax.random.key(getattr(args, "seed", 502))
+    key, k_init = jax.random.split(key)
+    ts = create_train_state(model, tx, k_init)
+
+    solver_options = build_solver_options(args)
+    attack_cfg = AttackConfig(
+        mode=getattr(args, "adv_training_mode", "clean"),
+        eps=getattr(args, "eps_adv_training", 8 / 255),
+        alpha=getattr(args, "fgsm_random_step_size_training", 10 / 255),
+        pgd_lr=getattr(args, "pgd_lr_training", 2 / 255),
+        pgd_niter=getattr(args, "pgd_niter_training", 7),
+        mean=getattr(args, "data_mean", None),
+        std=getattr(args, "data_std", None),
+    )
+    noise_cfg = NoiseConfig(
+        noise_type=getattr(args, "noise_type", None),
+        sigma=getattr(args, "noise_sigma", 0.001),
+        prob=getattr(args, "noise_prob", 0.0),
+        minimize_rk2_error=getattr(args, "minimize_rk2_error", False),
+    )
+    loss_cfg = LossConfig(
+        ss_loss=getattr(args, "ss_loss", False),
+        ss_loss_reg=getattr(args, "ss_loss_reg", 0.1),
+        data_noise_std=getattr(args, "data_noise_std", 0.0),
+    )
+    step = make_train_step(
+        model, tx, solvers, solver_options, attack_cfg, noise_cfg, loss_cfg,
+    )
+    config = dict(config or {})
+    save_dir = getattr(args, "save_dir", None)
+    logger.info(
+        "NFE/forward: %s",
+        nfe_per_forward(solvers, solver_options, _count_ode_blocks(model)),
+    )
+
+    best: dict = {}
+    batch_meter = RunningAverageMeter()
+    for epoch in range(getattr(args, "nepochs", 1)):
+        losses = []
+        for x, y in train_data_factory(epoch):
+            key, sub = jax.random.split(key)
+            t0 = time.perf_counter()
+            ts, m = step(ts, jnp.asarray(x), jnp.asarray(y), sub)
+            losses.append(float(m["loss"]))
+            batch_meter.update(time.perf_counter() - t0)
+        logger.info(
+            f"epoch {epoch} | train loss {np.mean(losses):.4f} | "
+            f"batch time {batch_meter.avg:.3f}s"
+        )
+        key, k_val = jax.random.split(key)
+        best = validate(
+            model, ts, solvers, args, eval_data_factory, k_val, logger,
+            best, save_dir, config, epoch,
+        )
+        adv_mode = getattr(args, "adv_testing_mode", "clean")
+        if adv_mode != "clean" and test_data_factory is not None:
+            key, k_adv = jax.random.split(key)
+            test_attack = AttackConfig(
+                mode="fgsm" if adv_mode == "fgsm" else "at",
+                eps=getattr(args, "eps_adv_testing", 8 / 255),
+                pgd_lr=getattr(args, "pgd_lr_testing", 2 / 255),
+                pgd_niter=getattr(args, "pgd_niter_testing", 7),
+                mean=getattr(args, "data_mean", None),
+                std=getattr(args, "data_std", None),
+            )
+            adv_acc = adversarial_accuracy(
+                model, ts.params, ts.model_state, solvers, solver_options,
+                test_data_factory(), test_attack, k_adv,
+            )
+            logger.info(f"epoch {epoch} | adversarial test acc {adv_acc:.4f}")
+        if save_dir:
+            save_checkpoint(os.path.join(save_dir, "last"), ts, config)
+    return ts
+
+
+def _count_ode_blocks(model: Model) -> int:
+    cfg = model.cfg
+    if hasattr(cfg, "num_blocks"):
+        return sum(n_ode for _, n_ode in cfg.num_blocks)
+    return 1 if getattr(cfg, "is_odenet", True) else 0

@@ -1,0 +1,146 @@
+"""MNIST training CLI — flag parity with odenet_mnist/runner_new.py.
+
+Example:
+  python -m neural_ode_metasolver_tpu.runners.mnist_runner \
+      --solvers "rk2,u,8,-1,0.5,-1" --nepochs 3 --batch_size 128 \
+      --data_root /path/to/mnist   # or omit for synthetic data
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+
+from ..data import (
+    Dataset,
+    batch_iterator,
+    load_mnist,
+    synthetic_dataset,
+)
+from ..models.api import build_model
+from ..ops import parse_solver_dsl
+from ..training import learning_rate_with_decay, make_optimizer
+from ..utils import count_parameters, fix_seeds, get_logger
+from .common import fit
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    # solver / regime flags (runner.py:31-53)
+    p.add_argument("--solvers", type=str, default="rk2,u,8,-1,0.5,-1")
+    p.add_argument("--solver_mode", type=str, default="standalone",
+                   choices=["standalone", "switch", "ensemble"])
+    p.add_argument("--switch_probs",
+                   type=lambda s: [float(i) for i in s.split(",")],
+                   default=None)
+    p.add_argument("--ensemble_weights",
+                   type=lambda s: [float(i) for i in s.split(",")],
+                   default=None)
+    p.add_argument("--ensemble_prob", type=float, default=1.0)
+    p.add_argument("--noise_type", type=str, default=None,
+                   choices=[None, "cauchy", "normal"])
+    p.add_argument("--noise_sigma", type=float, default=0.001)
+    p.add_argument("--noise_prob", type=float, default=0.0)
+    p.add_argument("--minimize_rk2_error", action="store_true")
+    p.add_argument("--val_solver_modes",
+                   type=lambda s: s.strip().split(","),
+                   default=["standalone"])
+    # architecture (runner.py:55-66)
+    p.add_argument("--network", type=str, default="odenet",
+                   choices=["odenet", "resnet"])
+    p.add_argument("--downsampling_method", type=str, default="conv",
+                   choices=["conv", "res"])
+    p.add_argument("--activation", type=str, default="relu")
+    p.add_argument("--in_channels", type=int, default=1)
+    # optimization (runner.py:137-151)
+    p.add_argument("--lr", type=float, default=0.1)
+    p.add_argument("--optim", type=str, default="rmsprop",
+                   choices=["sgd", "rmsprop", "adam"])
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--weight_decay", type=float, default=0.0005)
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--test_batch_size", type=int, default=1000)
+    p.add_argument("--nepochs", type=int, default=160)
+    p.add_argument("--data_aug", action="store_true", default=True)
+    p.add_argument("--seed", type=int, default=502)
+    # adversarial training/testing (runner_new.py:86-104)
+    p.add_argument("--adv_training_mode", default="clean",
+                   choices=["clean", "fgsm", "at"])
+    p.add_argument("--eps_adv_training", type=float, default=0.3)
+    p.add_argument("--pgd_lr_training", type=float, default=2 / 255)
+    p.add_argument("--pgd_niter_training", type=int, default=7)
+    p.add_argument("--adv_testing_mode", default="clean",
+                   choices=["clean", "fgsm", "at"])
+    p.add_argument("--eps_adv_testing", type=float, default=0.3)
+    p.add_argument("--pgd_lr_testing", type=float, default=2 / 255)
+    p.add_argument("--pgd_niter_testing", type=int, default=7)
+    p.add_argument("--ss_loss", action="store_true")
+    p.add_argument("--ss_loss_reg", type=float, default=0.1)
+    p.add_argument("--data_noise_std", type=float, default=0.0)
+    # io
+    p.add_argument("--data_root", type=str, default=None,
+                   help="dir with MNIST IDX files; synthetic data if unset")
+    p.add_argument("--save_dir", type=str, default="./experiment_mnist")
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--synthetic_train_size", type=int, default=4096)
+    p.add_argument("--synthetic_test_size", type=int, default=1024)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    fix_seeds(args.seed)
+    logger = get_logger(
+        os.path.join(args.save_dir, "logs"), debug=args.debug, name="mnist"
+    )
+    logger.info(str(vars(args)))
+
+    solvers = parse_solver_dsl(args.solvers)
+    model = build_model(
+        "mnist",
+        downsampling_method=args.downsampling_method,
+        is_odenet=args.network == "odenet",
+        activation_type=args.activation,
+        in_channels=args.in_channels,
+    )
+    params, _ = model.init(jax.random.key(0))
+    logger.info(f"Number of parameters: {count_parameters(params)}")
+
+    if args.data_root:
+        train_ds = load_mnist(args.data_root, train=True)
+        test_ds = load_mnist(args.data_root, train=False)
+    else:
+        logger.warning("no --data_root: falling back to synthetic data")
+        train_ds = synthetic_dataset(args.synthetic_train_size, (28, 28, 1), seed=args.seed)
+        test_ds = synthetic_dataset(args.synthetic_test_size, (28, 28, 1), seed=args.seed + 1)
+
+    crop = 4 if args.data_aug else 0
+
+    def train_data(epoch):
+        return batch_iterator(
+            train_ds, args.batch_size, seed=args.seed + epoch,
+            crop_padding=crop,
+        )
+
+    def eval_data():
+        return batch_iterator(
+            test_ds, args.test_batch_size, shuffle=False
+        )
+
+    batches_per_epoch = len(train_ds) // args.batch_size
+    sched = learning_rate_with_decay(
+        args.lr, args.batch_size, batches_per_epoch,
+        boundary_epochs=[60, 100, 140],
+        decay_rates=[1, 0.1, 0.01, 0.001],
+    )
+    tx = make_optimizer(args.optim, sched, momentum=args.momentum,
+                        weight_decay=args.weight_decay)
+
+    config = {"args": vars(args), "solvers": args.solvers, "model": "mnist"}
+    fit(model, solvers, tx, args, logger, train_data, eval_data,
+        test_data_factory=eval_data, config=config)
+
+
+if __name__ == "__main__":
+    main()

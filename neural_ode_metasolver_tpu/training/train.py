@@ -162,8 +162,11 @@ def make_train_step(
     remat: bool = False,
     unroll: int = 1,
     donate: bool = True,
+    jit_compile: bool = True,
 ):
-    """Returns ``step(ts, x, y, key) -> (ts, metrics)`` (jitted)."""
+    """Returns ``step(ts, x, y, key) -> (ts, metrics)`` (jitted unless
+    ``jit_compile=False`` — e.g. when the caller re-jits with mesh shardings
+    via ``parallel.make_parallel_train_step``)."""
 
     def step(ts: TrainState, x: Array, y: Array, key: Array):
         k_noise, k_attack, k_afwd, k_fwd, k_data = jax.random.split(key, 5)
@@ -215,6 +218,8 @@ def make_train_step(
         )
         return ts, metrics
 
+    if not jit_compile:
+        return step
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 

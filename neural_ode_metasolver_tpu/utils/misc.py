@@ -1,0 +1,57 @@
+"""Shared helpers (reference: sopa/src/models/utils.py,
+odenet_mnist/utils.py).
+
+``fix_seeds`` pins numpy/python RNGs and returns a root JAX key — JAX's
+explicit-key model replaces torch's global ``manual_seed`` +
+``cudnn.deterministic`` (models/utils.py:7-14); XLA:TPU is deterministic for
+a fixed key by construction.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import random
+
+import jax
+import numpy as np
+
+__all__ = ["fix_seeds", "count_parameters", "makedirs", "get_logger"]
+
+
+def fix_seeds(seed: int = 502) -> jax.Array:
+    random.seed(seed)
+    np.random.seed(seed)
+    return jax.random.key(seed)
+
+
+def count_parameters(params) -> int:
+    """Total trainable parameter count (odenet_mnist/utils.py:21-23)."""
+    return sum(x.size for x in jax.tree_util.tree_leaves(params))
+
+
+def makedirs(dirname: str):
+    os.makedirs(dirname, exist_ok=True)
+
+
+def get_logger(
+    logpath: str,
+    displaying: bool = True,
+    saving: bool = True,
+    debug: bool = False,
+    name: str = "nodems",
+) -> logging.Logger:
+    """File+console logger (odenet_mnist/utils.py:30-55)."""
+    logger = logging.getLogger(name)
+    level = logging.DEBUG if debug else logging.INFO
+    logger.setLevel(level)
+    logger.handlers.clear()
+    if saving:
+        makedirs(os.path.dirname(os.path.abspath(logpath)))
+        fh = logging.FileHandler(logpath)
+        fh.setLevel(level)
+        logger.addHandler(fh)
+    if displaying:
+        ch = logging.StreamHandler()
+        ch.setLevel(level)
+        logger.addHandler(ch)
+    return logger

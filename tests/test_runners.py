@@ -1,0 +1,81 @@
+"""Runner CLI smoke tests: the MNIST and CIFAR trainers run end-to-end on
+tiny synthetic data (train -> validate -> checkpoint), and the attacks
+runner sweeps checkpoints into a CSV."""
+import csv
+import glob
+import os
+
+import pytest
+
+from neural_ode_metasolver_tpu.runners import cifar_runner, mnist_runner
+from neural_ode_metasolver_tpu.runners import attacks_runner
+
+
+def test_mnist_runner_end_to_end(tmp_path):
+    save = str(tmp_path / "mnist_exp")
+    mnist_runner.main([
+        "--solvers", "rk2,u,2,-1,0.5,-1",
+        "--nepochs", "1",
+        "--batch_size", "16",
+        "--test_batch_size", "16",
+        "--synthetic_train_size", "48",
+        "--synthetic_test_size", "32",
+        "--save_dir", save,
+    ])
+    assert glob.glob(os.path.join(save, "best_solver_0", "step_*"))
+    assert glob.glob(os.path.join(save, "last", "step_*"))
+
+
+def test_cifar_runner_with_switch_validation(tmp_path):
+    save = str(tmp_path / "cifar_exp")
+    cifar_runner.main([
+        "--network", "premetanode6",
+        "--in_planes", "16",
+        "--solvers", "rk2,u,2,-1,0.5,-1;rk2,u,2,-1,1.0,-1",
+        "--solver_mode", "switch",
+        "--val_solver_modes", "standalone,switch",
+        "--adv_training_mode", "fgsm_random",
+        "--noise_type", "normal",
+        "--noise_sigma", "0.0125",
+        "--noise_prob", "1.0",
+        "--nepochs", "1",
+        "--batch_size", "16",
+        "--test_batch_size", "16",
+        "--synthetic_train_size", "64",
+        "--synthetic_test_size", "32",
+        "--val_perc", "0.25",
+        "--save_dir", save,
+    ])
+    assert glob.glob(os.path.join(save, "best_solver_0", "step_*"))
+    assert glob.glob(os.path.join(save, "best_solver_1", "step_*"))
+    assert glob.glob(os.path.join(save, "best_switch", "step_*"))
+
+
+def test_attacks_runner_sweep(tmp_path):
+    # train a tiny model first to have a checkpoint
+    save = str(tmp_path / "exp")
+    mnist_runner.main([
+        "--solvers", "rk2,u,2,-1,0.5,-1",
+        "--nepochs", "1",
+        "--batch_size", "16",
+        "--test_batch_size", "16",
+        "--synthetic_train_size", "32",
+        "--synthetic_test_size", "16",
+        "--save_dir", save,
+    ])
+    out_csv = str(tmp_path / "accs.csv")
+    attacks_runner.main([
+        "--checkpoints_glob", os.path.join(save, "best_solver_0"),
+        "--modes", "clean,fgsm",
+        "--epsilons", "0.1",
+        "--batch_size", "16",
+        "--max_batches", "1",
+        "--output_csv", out_csv,
+    ])
+    with open(out_csv) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 2  # clean + fgsm@0.1
+    modes = {r["mode"] for r in rows}
+    assert modes == {"clean", "fgsm"}
+    for r in rows:
+        assert 0.0 <= float(r["accuracy"]) <= 1.0
