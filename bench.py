@@ -61,6 +61,9 @@ def main():
                                 alpha=10 / 255, mean=CIFAR10_MEAN,
                                 std=CIFAR10_STD),
         noise_cfg=NoiseConfig(noise_type="normal", sigma=0.0125, prob=1.0),
+        # production precision policy: bf16 activations, f32 master params
+        # (the TPU-native apex-O1; 1.66x over f32 on v5e)
+        compute_dtype=jnp.bfloat16,
     )
 
     x = jax.random.normal(jax.random.key(1), (BATCH, 32, 32, 3), jnp.float32)

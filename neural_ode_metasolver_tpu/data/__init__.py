@@ -9,6 +9,7 @@ from .datasets import (
     inf_generator,
     load_cifar10,
     load_mnist,
+    load_svhn,
     synthetic_dataset,
     train_val_split,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "inf_generator",
     "load_cifar10",
     "load_mnist",
+    "load_svhn",
     "synthetic_dataset",
     "train_val_split",
 ]

@@ -101,6 +101,21 @@ def load_cifar10(data_root: str, train: bool = True) -> Dataset:
     return Dataset(x.astype(np.float32) / 255.0, np.concatenate(ys))
 
 
+def load_svhn(data_root: str, split: str = "train") -> Dataset:
+    """Read the standard SVHN cropped-digit .mat files
+    (reference get_svhn_loaders, odenet_mnist/data.py:39-69)."""
+    from scipy.io import loadmat
+
+    path = os.path.join(data_root, f"{split}_32x32.mat")
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    mat = loadmat(path)
+    x = mat["X"].transpose(3, 0, 1, 2).astype(np.float32) / 255.0  # HWCN->NHWC
+    y = mat["y"].reshape(-1).astype(np.int32)
+    y[y == 10] = 0  # SVHN labels digits 1..10 with '0' stored as 10
+    return Dataset(x, y)
+
+
 def synthetic_dataset(
     n: int,
     image_shape: Tuple[int, int, int],

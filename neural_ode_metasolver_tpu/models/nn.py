@@ -101,6 +101,9 @@ def conv2d(
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
     kernel = params["kernel"]
+    # No explicit preferred_element_type: XLA:TPU accumulates bf16 convs in
+    # f32 on the MXU anyway, and a f32-preferred output breaks the conv
+    # transpose rule under mixed precision (mixed-dtype cotangent).
     y = lax.conv_general_dilated(
         x,
         kernel.astype(x.dtype),
@@ -109,8 +112,7 @@ def conv2d(
         rhs_dilation=(dilation, dilation),
         feature_group_count=groups,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
     if "bias" in params:
         y = y + params["bias"].astype(y.dtype)
     return y
@@ -130,10 +132,7 @@ def linear_init(
 
 
 def linear(params: Params, x: Array) -> Array:
-    y = jnp.dot(
-        x, params["kernel"].astype(x.dtype),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    y = jnp.dot(x, params["kernel"].astype(x.dtype))
     if "bias" in params:
         y = y + params["bias"].astype(y.dtype)
     return y

@@ -83,7 +83,9 @@ def rk_step(tableau: ButcherTableau, rhs: RHS, y: Array, t: Array, dt: Array):
             wij = tableau.w[..., i, j]
             yi = yi + (wij * dt) * ks[j]
         ti = t + tableau.c[..., i] * dt
-        ks.append(rhs(ti, yi))
+        # Keep RHS inputs in the carry dtype (bf16 under mixed precision);
+        # the f32 coefficient products above otherwise promote the stage.
+        ks.append(rhs(ti, yi.astype(y.dtype)))
     dy = ks[0] * (tableau.b[..., 0] * dt)
     for i in range(1, s):
         dy = dy + ks[i] * (tableau.b[..., i] * dt)
@@ -105,7 +107,10 @@ def _scan_steps(
 
     def body(y, t_dt):
         t, dt = t_dt
-        y1 = y + rk_step(tableau, rhs, y, t, dt)
+        # Stage combination runs in the promoted (>= f32) dtype; the carry is
+        # cast back so mixed-precision (bf16 activations, f32 tableau
+        # coefficients) keeps a stable scan carry type.
+        y1 = (y + rk_step(tableau, rhs, y, t, dt)).astype(y.dtype)
         return y1, (y1 if return_trajectory else None)
 
     if remat:

@@ -1,5 +1,7 @@
 """Training/eval engine: jitted train step, optimizers, schedules, eval
 harness, metrics, checkpointing."""
+from .logging import MetricsLogger
+from .profiling import annotate, trace
 from .checkpoint import latest_step, restore_checkpoint, save_checkpoint
 from .evaluate import (
     accuracy,
@@ -22,6 +24,9 @@ from .train import (
 )
 
 __all__ = [
+    "MetricsLogger",
+    "annotate",
+    "trace",
     "latest_step",
     "restore_checkpoint",
     "save_checkpoint",

@@ -104,6 +104,25 @@ def create_train_state(
     )
 
 
+def _cast_model(model: Model, compute_dtype) -> Model:
+    """Wrap a model so its forward runs in ``compute_dtype`` (logits back in
+    f32).  No-op when compute_dtype is None."""
+    if compute_dtype is None:
+        return model
+    import dataclasses
+
+    inner_apply = model.apply
+
+    def apply(params, state, x, *args, **kwargs):
+        logits, new_state, aux = inner_apply(
+            params, state, x.astype(compute_dtype), *args, **kwargs
+        )
+        aux = {k: v.astype(jnp.float32) for k, v in aux.items()}
+        return logits.astype(jnp.float32), new_state, aux
+
+    return dataclasses.replace(model, apply=apply)
+
+
 def _noise_solvers(solvers, key, noise_cfg: NoiseConfig):
     if noise_cfg.noise_type is None:
         return list(solvers)
@@ -163,10 +182,20 @@ def make_train_step(
     unroll: int = 1,
     donate: bool = True,
     jit_compile: bool = True,
+    compute_dtype=None,
 ):
     """Returns ``step(ts, x, y, key) -> (ts, metrics)`` (jitted unless
     ``jit_compile=False`` — e.g. when the caller re-jits with mesh shardings
-    via ``parallel.make_parallel_train_step``)."""
+    via ``parallel.make_parallel_train_step``).
+
+    ``compute_dtype=jnp.bfloat16`` enables mixed precision: activations (and
+    hence MXU matmuls, which the layer library casts kernels to match) run in
+    bf16 with f32 accumulation, while master params, the optimizer state, and
+    the loss stay f32 — the TPU-native replacement for the reference's
+    apex.amp O1 (train_and_attack.py:497-500).  Attack input-gradients are
+    taken w.r.t. the f32 image through the cast.
+    """
+    model = _cast_model(model, compute_dtype)
 
     def step(ts: TrainState, x: Array, y: Array, key: Array):
         k_noise, k_attack, k_afwd, k_fwd, k_data = jax.random.split(key, 5)
@@ -230,8 +259,10 @@ def make_eval_step(
     *,
     remat: bool = False,
     unroll: int = 1,
+    compute_dtype=None,
 ):
     """Returns jitted ``predict(params, state, x, key) -> logits``."""
+    model = _cast_model(model, compute_dtype)
 
     def predict(params, state, x, key=None):
         logits, _, _ = model.apply(
