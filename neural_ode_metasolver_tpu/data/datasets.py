@@ -215,9 +215,24 @@ def batch_iterator(
     hflip: bool = False,
     mean=None,
     std=None,
+    backend: str = "auto",
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """One epoch of (x, y) NHWC float32 batches (drop_last parity with the
-    reference loaders)."""
+    reference loaders).
+
+    ``backend``: 'auto' uses the multithreaded C++ pipeline
+    (data/native.py) when it is built/buildable, else NumPy; 'numpy' /
+    'native' force a path.  The two paths implement identical transforms with
+    independent deterministic RNG streams.
+    """
+    use_native = False
+    if backend in ("auto", "native"):
+        from .native import augment_batch_native, native_available
+
+        use_native = native_available()
+        if backend == "native" and not use_native:
+            raise RuntimeError("native data pipeline unavailable")
+
     rs = np.random.RandomState(seed)
     idx = np.arange(len(ds))
     if shuffle:
@@ -227,11 +242,17 @@ def batch_iterator(
     )
     for b in range(n_batches):
         sel = idx[b * batch_size : (b + 1) * batch_size]
-        x = ds.images[sel]
-        if crop_padding or hflip:
-            x = augment_batch(rs, x, crop_padding, hflip)
-        if mean is not None:
-            x = normalize_images(x, mean, std)
+        if use_native:
+            x = augment_batch_native(
+                ds.images, sel, crop_padding=crop_padding, hflip=hflip,
+                mean=mean, std=std, seed=(seed * 100003 + b),
+            )
+        else:
+            x = ds.images[sel]
+            if crop_padding or hflip:
+                x = augment_batch(rs, x, crop_padding, hflip)
+            if mean is not None:
+                x = normalize_images(x, mean, std)
         yield x, ds.labels[sel]
 
 

@@ -84,8 +84,9 @@ def _gn_act_fwd_pallas(x, scale, bias, num_groups, eps, act, interpret):
     g = num_groups
     hw = h * w
     x2 = x.reshape(n, hw, c)
-    # samples per program: target ~2 MB per input block for good pipelining
-    bn = max(1, min(n, (2 * 1024 * 1024) // max(hw * c * x.dtype.itemsize, 1)))
+    # samples per program: target ~512 KB per input block — the compiler
+    # holds in + out + f32 staging copies, double-buffered, in 16 MB VMEM
+    bn = max(1, min(n, (512 * 1024) // max(hw * c * x.dtype.itemsize, 1)))
     while n % bn:
         bn -= 1
     ind = (
