@@ -1,5 +1,11 @@
 """Training/eval engine: jitted train step, optimizers, schedules, eval
 harness, metrics, checkpointing."""
+from .solver_training import (
+    SolverTrainState,
+    create_solver_train_state,
+    make_solver_train_step,
+    solvers_from_state,
+)
 from .logging import MetricsLogger
 from .profiling import annotate, trace
 from .checkpoint import latest_step, restore_checkpoint, save_checkpoint
@@ -24,6 +30,10 @@ from .train import (
 )
 
 __all__ = [
+    "SolverTrainState",
+    "create_solver_train_state",
+    "make_solver_train_step",
+    "solvers_from_state",
     "MetricsLogger",
     "annotate",
     "trace",

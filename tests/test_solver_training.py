@@ -1,0 +1,83 @@
+"""Trainable-solver-parameter tests: u/v receive gradients through the
+integration scan and move under their own optimizer (reference lr_uv analog,
+runner_old.py:184-185)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neural_ode_metasolver_tpu.data import batch_iterator, synthetic_dataset
+from neural_ode_metasolver_tpu.models.api import build_model
+from neural_ode_metasolver_tpu.ops import SolverOptions, create_solver
+from neural_ode_metasolver_tpu.training import (
+    AttackConfig,
+    create_solver_train_state,
+    make_optimizer,
+    make_solver_train_step,
+    solvers_from_state,
+)
+
+OPTS = SolverOptions()
+
+
+def setup(solvers, **step_kw):
+    model = build_model("mnist", dim=16)
+    tx = make_optimizer("sgd", 0.05, momentum=0.9)
+    solver_tx = make_optimizer("sgd", 0.01)  # the lr_uv group
+    ts = create_solver_train_state(model, tx, solver_tx, solvers,
+                                   jax.random.key(0))
+    step = make_solver_train_step(model, tx, solver_tx, solvers, OPTS,
+                                  **step_kw)
+    return model, ts, step
+
+
+def batches(n=4, bs=8):
+    ds = synthetic_dataset(n * bs, (28, 28, 1), seed=0)
+    return list(batch_iterator(ds, bs, seed=0))
+
+
+def test_solver_u_moves_and_stays_valid():
+    solvers = [create_solver("rk2", "u", n_steps=4, u0=0.5)]
+    model, ts, step = setup(solvers)
+    u0 = float(ts.solver_params[0]["u"])
+    for i, (x, y) in enumerate(batches(6)):
+        ts, m = step(ts, jnp.asarray(x), jnp.asarray(y), jax.random.key(i))
+    u1 = float(ts.solver_params[0]["u"])
+    assert u1 != u0
+    assert 1e-3 <= u1 <= 1.0
+    assert float(m["solver_grad_norm"]) >= 0
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_rk3_both_params_train():
+    solvers = [create_solver("rk3", "uv", n_steps=4, u0=1 / 3, v0=2 / 3)]
+    model, ts, step = setup(solvers)
+    x, y = batches(1)[0]
+    for i in range(3):
+        ts, m = step(ts, jnp.asarray(x), jnp.asarray(y), jax.random.key(i))
+    assert float(ts.solver_params[0]["u"]) != 1 / 3
+    assert float(ts.solver_params[0]["v"]) != 2 / 3
+    assert "solver0_v" in m
+
+
+def test_solvers_from_state_roundtrip():
+    solvers = [
+        create_solver("rk2", "u", n_steps=4, u0=0.5),
+        create_solver("rk4", "u2", n_steps=2, u0=1 / 3),
+    ]
+    model, ts, step = setup(solvers)
+    rebuilt = solvers_from_state(solvers, ts.solver_params)
+    assert all(not s.frozen for s in rebuilt)
+    np.testing.assert_allclose(float(rebuilt[0].u), 0.5)
+    np.testing.assert_allclose(float(rebuilt[1].u), 1 / 3)
+    assert rebuilt[1].n_steps == 2
+
+
+def test_solver_training_under_adversarial_mode():
+    solvers = [create_solver("rk2", "u", n_steps=2, u0=0.6)]
+    model, ts, step = setup(
+        solvers, attack_cfg=AttackConfig(mode="fgsm", eps=0.1)
+    )
+    x, y = batches(1)[0]
+    ts, m = step(ts, jnp.asarray(x), jnp.asarray(y), jax.random.key(0))
+    assert np.isfinite(float(m["loss"]))
+    assert int(ts.step) == 1
