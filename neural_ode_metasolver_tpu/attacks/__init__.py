@@ -2,6 +2,7 @@
 FGSMRandom, PGD, FGSM2Ensemble) as pure jittable functions."""
 from .attacks import (
     clean,
+    clean2ensemble,
     cross_entropy,
     fgsm,
     fgsm2ensemble,
@@ -13,6 +14,7 @@ from .attacks import (
 
 __all__ = [
     "clean",
+    "clean2ensemble",
     "cross_entropy",
     "fgsm",
     "fgsm2ensemble",

@@ -34,6 +34,7 @@ Forward = Callable[[Array], Array]
 __all__ = [
     "cross_entropy",
     "clean",
+    "clean2ensemble",
     "fgsm",
     "fgsm_random",
     "pgd",
@@ -72,6 +73,11 @@ def inv_normalize(x: Array, mean=None, std=None) -> Array:
 
 def clean(x: Array, y: Array) -> Tuple[Array, Array]:
     """No-op attack (base.py:4-6) for uniform code paths."""
+    return x, y
+
+
+def clean2ensemble(x: Array, y: Array) -> Tuple[Array, Array]:
+    """No-op ensemble attack (base.py:8-10)."""
     return x, y
 
 

@@ -10,8 +10,9 @@ return an updated one.
 
 Layout: activations are NHWC and conv kernels HWIO — the native layouts for
 XLA:TPU convolutions (the reference is NCHW torch; the data layer transposes
-once at the edge).  Matmuls/convs request ``preferred_element_type=float32``
-so bf16 inputs still accumulate in f32 on the MXU.
+once at the edge).  Under mixed precision (bf16 activations) kernels are cast
+to the activation dtype; XLA:TPU accumulates bf16 matmuls/convs in f32 on the
+MXU.
 
 Initializers replicate torch defaults for numerics parity (SURVEY.md §7
 "hard parts"): Conv2d/Linear kaiming-uniform(a=sqrt(5)) + fan-in-uniform bias,
@@ -48,6 +49,8 @@ __all__ = [
     "make_param_norm_def",
     "orthogonal_conv_init",
     "orthogonal_fc_init",
+    "xavier_conv_init",
+    "apply_init_scheme",
     "global_avg_pool",
 ]
 
@@ -149,6 +152,57 @@ def orthogonal_conv_init(key: Array, params: Params) -> Params:
     out = dict(params)
     out["kernel"] = new
     return out
+
+
+def xavier_conv_init(key: Array, params: Params) -> Params:
+    """Xavier-uniform(gain=sqrt(2)) conv re-init, zero bias — the reference's
+    ``conv_init`` intent (odenet_cifar10/utils.py:78-85; its ``np`` import bug
+    meant it could never run there)."""
+    kernel = params["kernel"]
+    kh, kw, ci, co = kernel.shape
+    fan_in, fan_out = ci * kh * kw, co * kh * kw
+    gain = math.sqrt(2.0)
+    bound = gain * math.sqrt(6.0 / (fan_in + fan_out))
+    out = dict(params)
+    out["kernel"] = jax.random.uniform(key, kernel.shape, kernel.dtype,
+                                       -bound, bound)
+    if "bias" in out:
+        out["bias"] = jnp.zeros_like(out["bias"])
+    return out
+
+
+def apply_init_scheme(key: Array, params, scheme: str):
+    """Walk a params tree re-initializing conv/linear kernels.
+
+    ``scheme='orthogonal'``: orthogonal convs + orthogonal FC with bias=1e-3
+    (cifar runner ``--init orthogonal``, train_and_attack.py:439-443);
+    ``scheme='xavier'``: the conv_init variant above.
+    """
+    if scheme is None:
+        return params
+    n_leaves = len(jax.tree_util.tree_leaves(params))
+    keys = jax.random.split(key, max(n_leaves, 1))
+    idx = [0]  # recursive walk: kernels need their sibling bias
+
+    def walk(node):
+        if isinstance(node, dict) and "kernel" in node:
+            k = keys[idx[0] % len(keys)]
+            idx[0] += 1
+            if node["kernel"].ndim == 4:
+                if scheme == "orthogonal":
+                    return orthogonal_conv_init(k, node)
+                if scheme == "xavier":
+                    return xavier_conv_init(k, node)
+            elif node["kernel"].ndim == 2 and scheme == "orthogonal":
+                return orthogonal_fc_init(k, node)
+            return node
+        if isinstance(node, dict):
+            return {kk: walk(v) for kk, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        return node
+
+    return walk(params)
 
 
 def orthogonal_fc_init(key: Array, params: Params) -> Params:

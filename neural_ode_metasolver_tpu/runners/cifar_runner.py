@@ -154,6 +154,15 @@ def main(argv=None):
     )
     params, _ = model.init(jax.random.key(0))
     logger.info(f"Number of parameters: {count_parameters(params)}")
+    if args.init:
+        from ..models.nn import apply_init_scheme
+
+        def reinit(key):
+            p0, s0 = model.init(key)
+            return apply_init_scheme(jax.random.fold_in(key, 1), p0,
+                                     args.init), s0
+
+        model = __import__("dataclasses").replace(model, init=reinit)
 
     args.data_mean = CIFAR10_MEAN
     args.data_std = CIFAR10_STD

@@ -65,9 +65,23 @@ def validate(
     save_dir: Optional[str],
     config: dict,
     epoch: int,
+    predict_cache: Optional[dict] = None,
 ):
     """Run every requested validation mode; update ``best`` and write
-    checkpoints on improvement (train_validate.py:250-342 semantics)."""
+    checkpoints on improvement (train_validate.py:250-342 semantics).
+
+    ``predict_cache`` (dict, owned by the caller) reuses compiled eval steps
+    across epochs instead of re-jitting each time.
+    """
+    from ..training import make_eval_step
+
+    cache = predict_cache if predict_cache is not None else {}
+
+    def get_predict(tag, solvers_, opts_):
+        if tag not in cache:
+            cache[tag] = make_eval_step(model, solvers_, opts_)
+        return cache[tag]
+
     for mode in getattr(args, "val_solver_modes", ["standalone"]):
         if mode == "standalone":
             for i, s in enumerate(solvers):
@@ -75,6 +89,10 @@ def validate(
                     model, ts.params, ts.model_state, [s],
                     SolverOptions(solver_mode="standalone"),
                     eval_data_factory(),
+                    predict=get_predict(
+                        f"standalone_{i}", [s],
+                        SolverOptions(solver_mode="standalone"),
+                    ),
                 )
                 logger.info(
                     f"epoch {epoch} | standalone solver {i} "
@@ -99,6 +117,7 @@ def validate(
             acc = accuracy(
                 model, ts.params, ts.model_state, solvers, opts,
                 eval_data_factory(), key=sub,
+                predict=get_predict(mode, solvers, opts),
             )
             logger.info(f"epoch {epoch} | {mode} acc {acc:.4f}")
             if acc > best.get(mode, 0.0):
@@ -161,7 +180,11 @@ def fit(
     )
 
     best: dict = {}
+    predict_cache: dict = {}
     batch_meter = RunningAverageMeter()
+    from ..training.logging import MetricsLogger
+
+    mlog = MetricsLogger(save_dir or ".", config=config) if save_dir else None
     for epoch in range(getattr(args, "nepochs", 1)):
         losses = []
         for x, y in train_data_factory(epoch):
@@ -174,10 +197,17 @@ def fit(
             f"epoch {epoch} | train loss {np.mean(losses):.4f} | "
             f"batch time {batch_meter.avg:.3f}s"
         )
+        if mlog:
+            mlog.log(
+                {"epoch": epoch, "train_loss": float(np.mean(losses)),
+                 "batch_time": batch_meter.avg, **{
+                     k: float(v) for k, v in m.items()}},
+                step=int(ts.step),
+            )
         key, k_val = jax.random.split(key)
         best = validate(
             model, ts, solvers, args, eval_data_factory, k_val, logger,
-            best, save_dir, config, epoch,
+            best, save_dir, config, epoch, predict_cache=predict_cache,
         )
         adv_mode = getattr(args, "adv_testing_mode", "clean")
         if adv_mode != "clean" and test_data_factory is not None:
@@ -195,8 +225,15 @@ def fit(
                 test_data_factory(), test_attack, k_adv,
             )
             logger.info(f"epoch {epoch} | adversarial test acc {adv_acc:.4f}")
+            if mlog:
+                mlog.log({"epoch": epoch, "adv_test_acc": adv_acc},
+                         step=int(ts.step))
         if save_dir:
             save_checkpoint(os.path.join(save_dir, "last"), ts, config)
+    if mlog:
+        mlog.log({"best": max(best.values()) if best else 0.0},
+                 step=int(ts.step))
+        mlog.close()
     return ts
 
 

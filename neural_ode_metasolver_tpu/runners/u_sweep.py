@@ -1,0 +1,124 @@
+"""MNIST robust-accuracy-vs-u sweep — the experiment behind the reference's
+README.md:46-50 figure (RK2 parametrization sweep, PGD eval eps=0.3,
+lr=2/255, 7 iters, multiple seeds).
+
+For each u0 in the grid and each seed: train an MNIST MetaNODE with a frozen
+RK2(u0) solver, evaluate clean + PGD robust accuracy, and write a CSV of
+(u0, seed, clean_acc, robust_acc) — the data for the mean±sem curve.
+
+  python -m neural_ode_metasolver_tpu.runners.u_sweep \
+      --u_grid 0.1,0.3,0.5,0.6667,0.8,1.0 --seeds 1,2,3 \
+      --nepochs 3 --data_root /path/to/mnist
+"""
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+
+import jax
+
+from ..data import batch_iterator, load_mnist, synthetic_dataset
+from ..models.api import build_model
+from ..ops import SolverOptions, create_solver
+from ..training import (
+    AttackConfig,
+    accuracy,
+    adversarial_accuracy,
+    create_train_state,
+    learning_rate_with_decay,
+    make_optimizer,
+    make_train_step,
+)
+from ..utils import get_logger
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--u_grid",
+                   type=lambda s: [float(i) for i in s.split(",")],
+                   default=[0.1, 0.3, 0.5, 2 / 3, 0.8, 1.0])
+    p.add_argument("--seeds",
+                   type=lambda s: [int(i) for i in s.split(",")],
+                   default=[1, 2, 3])
+    p.add_argument("--n_steps", type=int, default=8)
+    p.add_argument("--nepochs", type=int, default=3)
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--lr", type=float, default=0.001)
+    p.add_argument("--optim", type=str, default="rmsprop")
+    p.add_argument("--eps", type=float, default=0.3)
+    p.add_argument("--pgd_lr", type=float, default=2 / 255)
+    p.add_argument("--pgd_niter", type=int, default=7)
+    p.add_argument("--data_root", type=str, default=None)
+    p.add_argument("--synthetic_train_size", type=int, default=2048)
+    p.add_argument("--synthetic_test_size", type=int, default=512)
+    p.add_argument("--dim", type=int, default=64)
+    p.add_argument("--output_csv", type=str, default="mnist_u_sweep.csv")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    logger = get_logger("u_sweep.log", name="u_sweep")
+
+    if args.data_root:
+        train_ds = load_mnist(args.data_root, train=True)
+        test_ds = load_mnist(args.data_root, train=False)
+    else:
+        logger.warning("no --data_root: synthetic data")
+        train_ds = synthetic_dataset(args.synthetic_train_size, (28, 28, 1),
+                                     seed=0)
+        test_ds = synthetic_dataset(args.synthetic_test_size, (28, 28, 1),
+                                    seed=1)
+
+    model = build_model("mnist", dim=args.dim)
+    opts = SolverOptions()
+    pgd_cfg = AttackConfig(mode="at", eps=args.eps, pgd_lr=args.pgd_lr,
+                           pgd_niter=args.pgd_niter)
+
+    rows = []
+    for u0 in args.u_grid:
+        solvers = [create_solver("rk2", "u", n_steps=args.n_steps, u0=u0)]
+        batches_per_epoch = len(train_ds) // args.batch_size
+        sched = learning_rate_with_decay(
+            args.lr, args.batch_size, batches_per_epoch
+        )
+        tx = make_optimizer(args.optim, sched, weight_decay=5e-4)
+        step = make_train_step(model, tx, solvers, opts)
+        for seed in args.seeds:
+            key = jax.random.key(seed)
+            key, k_init = jax.random.split(key)
+            ts = create_train_state(model, tx, k_init)
+            for epoch in range(args.nepochs):
+                for x, y in batch_iterator(train_ds, args.batch_size,
+                                           seed=seed * 1000 + epoch,
+                                           crop_padding=4):
+                    key, sub = jax.random.split(key)
+                    ts, m = step(ts, jax.numpy.asarray(x),
+                                 jax.numpy.asarray(y), sub)
+            clean_acc = accuracy(
+                model, ts.params, ts.model_state, solvers, opts,
+                batch_iterator(test_ds, 256, shuffle=False),
+            )
+            key, k_adv = jax.random.split(key)
+            robust_acc = adversarial_accuracy(
+                model, ts.params, ts.model_state, solvers, opts,
+                batch_iterator(test_ds, 256, shuffle=False), pgd_cfg, k_adv,
+            )
+            logger.info(
+                f"u0={u0:.4f} seed={seed} clean={clean_acc:.4f} "
+                f"pgd={robust_acc:.4f}"
+            )
+            rows.append({"u0": u0, "seed": seed, "clean_acc": clean_acc,
+                         "robust_acc": robust_acc})
+
+    with open(args.output_csv, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["u0", "seed", "clean_acc",
+                                          "robust_acc"])
+        w.writeheader()
+        w.writerows(rows)
+    logger.info(f"wrote {len(rows)} rows to {args.output_csv}")
+
+
+if __name__ == "__main__":
+    main()

@@ -48,8 +48,12 @@ def accuracy(
     solver_options: SolverOptions,
     data: Iterable[Tuple[np.ndarray, np.ndarray]],
     key: Optional[Array] = None,
+    predict=None,
 ) -> float:
-    predict = make_eval_step(model, solvers, solver_options)
+    """``predict`` (from ``make_eval_step``) may be passed in to reuse a
+    compiled eval step across epochs; otherwise one is built per call."""
+    if predict is None:
+        predict = make_eval_step(model, solvers, solver_options)
     correct = 0
     total = 0
     for x, y in _iterate(data):
