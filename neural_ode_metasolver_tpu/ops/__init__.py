@@ -22,6 +22,7 @@ from .noise import (
     noise_solver,
     solver_ensemble_by_noising,
 )
+from .adjoint import odeint_final_adjoint
 from .regimes import SolverOptions, meta_integrate
 
 __all__ = [
@@ -49,6 +50,7 @@ __all__ = [
     "noise_params",
     "noise_solver",
     "solver_ensemble_by_noising",
+    "odeint_final_adjoint",
     "SolverOptions",
     "meta_integrate",
 ]

@@ -68,12 +68,26 @@ def make_time_grid(
     ).astype(dtype)
 
 
-def rk_step(tableau: ButcherTableau, rhs: RHS, y: Array, t: Array, dt: Array):
+def _tree_axpy(coeff, x, y):
+    """y + coeff * x over matching pytrees (coeff is a scalar array)."""
+    return jax.tree_util.tree_map(lambda xe, ye: ye + coeff * xe, x, y)
+
+
+def _tree_cast_like(x, ref):
+    return jax.tree_util.tree_map(
+        lambda xe, re_: xe.astype(re_.dtype), x, ref
+    )
+
+
+def rk_step(tableau: ButcherTableau, rhs: RHS, y, t: Array, dt: Array):
     """One explicit RK step: returns dy = dt * sum_i b_i k_i.
 
     Stage loop is a static Python unroll (s <= 4), so XLA sees a straight-line
     graph of s RHS calls it can fuse (reference per-solver ``_make_step``,
     e.g. rk_parametric_order2stage2.py:87-93).
+
+    ``y`` may be any pytree of arrays (a plain array in the model hot path;
+    an augmented (y, a, g) tuple in the continuous-adjoint backward pass).
     """
     s = tableau.stages
     ks = []
@@ -81,14 +95,16 @@ def rk_step(tableau: ButcherTableau, rhs: RHS, y: Array, t: Array, dt: Array):
         yi = y
         for j in range(i):
             wij = tableau.w[..., i, j]
-            yi = yi + (wij * dt) * ks[j]
+            yi = _tree_axpy(wij * dt, ks[j], yi)
         ti = t + tableau.c[..., i] * dt
         # Keep RHS inputs in the carry dtype (bf16 under mixed precision);
         # the f32 coefficient products above otherwise promote the stage.
-        ks.append(rhs(ti, yi.astype(y.dtype)))
-    dy = ks[0] * (tableau.b[..., 0] * dt)
+        ks.append(rhs(ti, _tree_cast_like(yi, y)))
+    dy = jax.tree_util.tree_map(
+        lambda k: k * (tableau.b[..., 0] * dt), ks[0]
+    )
     for i in range(1, s):
-        dy = dy + ks[i] * (tableau.b[..., i] * dt)
+        dy = _tree_axpy(tableau.b[..., i] * dt, ks[i], dy)
     return dy
 
 
@@ -110,7 +126,10 @@ def _scan_steps(
         # Stage combination runs in the promoted (>= f32) dtype; the carry is
         # cast back so mixed-precision (bf16 activations, f32 tableau
         # coefficients) keeps a stable scan carry type.
-        y1 = (y + rk_step(tableau, rhs, y, t, dt)).astype(y.dtype)
+        dy = rk_step(tableau, rhs, y, t, dt)
+        y1 = jax.tree_util.tree_map(
+            lambda ye, de: (ye + de).astype(ye.dtype), y, dy
+        )
         return y1, (y1 if return_trajectory else None)
 
     if remat:
