@@ -35,12 +35,12 @@ def make_mnist_model(cfg: MnistConfig = MnistConfig()) -> Model:
 
     def apply(params, state, x, solvers=None, solver_options=None, *,
               key=None, train=False, ss_loss=False, ss_loss_abs=False,
-              remat=False, unroll=1):
+              remat=False, unroll=1, integration_method="backprop"):
         del train  # MNIST net is stateless (GN only)
         logits, aux = apply_mnist(
             params, x, solvers, solver_options, cfg=cfg, key=key,
             ss_loss=ss_loss, ss_loss_abs=ss_loss_abs, remat=remat,
-            unroll=unroll,
+            unroll=unroll, integration_method=integration_method,
         )
         return logits, state, aux
 
@@ -54,11 +54,11 @@ def make_cifar_model(cfg: CifarConfig = CifarConfig()) -> Model:
 
     def apply(params, state, x, solvers=None, solver_options=None, *,
               key=None, train=False, ss_loss=False, ss_loss_abs=False,
-              remat=False, unroll=1):
+              remat=False, unroll=1, integration_method="backprop"):
         return apply_cifar(
             params, state, x, solvers, solver_options, cfg=cfg, key=key,
             train=train, ss_loss=ss_loss, ss_loss_abs=ss_loss_abs,
-            remat=remat, unroll=unroll,
+            remat=remat, unroll=unroll, integration_method=integration_method,
         )
 
     return Model(init=init, apply=apply, cfg=cfg, input_shape=(32, 32, 3))

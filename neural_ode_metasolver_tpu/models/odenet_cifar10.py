@@ -267,7 +267,7 @@ def _meta_layer_init(key, cfg, planes, num_blocks, stride, in_planes):
 
 def _meta_layer_apply(
     cfg, p, s, x, strides, solvers, solver_options, key, train,
-    ss_loss, ss_loss_abs, remat, unroll,
+    ss_loss, ss_loss_abs, remat, unroll, integration_method="backprop",
 ):
     s = {"res": list(s["res"]), "ode": list(s["ode"])}
     for i, bp in enumerate(p["res"]):
@@ -281,7 +281,10 @@ def _meta_layer_apply(
         if key is not None:
             key, bkey = jax.random.split(key)
         x, aux = meta_integrate(
-            solvers, rhs, x, solver_options, bkey, remat=remat, unroll=unroll
+            solvers, rhs, x, solver_options, bkey, remat=remat, unroll=unroll,
+            adjoint=integration_method == "adjoint",
+            rhs_params=p_eff,
+            rhs_with_params=lambda pp, t, y: _odefunc_apply(cfg, pp, t, y),
         )
         if ss_loss:
             rhs_ss = lambda t, y, _p=p_eff: _odefunc_apply(
@@ -360,6 +363,7 @@ def apply_cifar(
     ss_loss_abs: bool = False,
     remat: bool = False,
     unroll: int = 1,
+    integration_method: str = "backprop",
 ) -> Tuple[Array, State, Dict[str, Array]]:
     """Forward pass. ``x`` NHWC. Returns ``(logits, new_state, aux)``."""
     nd_bn1, pnd_bn1, act_bn1 = cfg.norm_def(2), cfg.pn_def(2), cfg.act(2)
@@ -385,7 +389,7 @@ def apply_cifar(
         out, new_state[name], ss = _meta_layer_apply(
             cfg, params[name], state[name], out, _layer_strides(cfg, li),
             solvers, solver_options, lkey, train,
-            ss_loss, ss_loss_abs, remat, unroll,
+            ss_loss, ss_loss_abs, remat, unroll, integration_method,
         )
         ss_total = ss_total + ss
 

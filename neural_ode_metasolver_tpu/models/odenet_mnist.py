@@ -201,6 +201,7 @@ def apply_mnist(
     ss_loss_abs: bool = False,
     remat: bool = False,
     unroll: int = 1,
+    integration_method: str = "backprop",
 ) -> Tuple[Array, Dict[str, Array]]:
     """Forward pass.  Returns ``(logits, aux)`` with ``aux['ss_loss']``.
 
@@ -220,6 +221,9 @@ def apply_mnist(
             x, aux = meta_integrate(
                 solvers, rhs, x, solver_options, bkey,
                 remat=remat, unroll=unroll,
+                adjoint=integration_method == "adjoint",
+                rhs_params=block,
+                rhs_with_params=lambda p, t, y: _odefunc_apply(p, t, y, act),
             )
             if ss_loss:
                 # Re-integrate t in [1, 2] from the block output, replaying

@@ -46,7 +46,26 @@ class SolverOptions:
     ensemble_weights: Optional[Sequence[float]] = None
 
 
-def _integrate_one(solver: ParametricSolver, rhs, y0, t0, t1, remat, unroll):
+def _integrate_one(solver: ParametricSolver, rhs, y0, t0, t1, remat, unroll,
+                   adjoint=False, rhs_params=None, rhs_with_params=None):
+    if adjoint:
+        from .adjoint import odeint_final_adjoint
+        from .integrate import make_time_grid
+
+        if rhs_with_params is None:
+            raise ValueError(
+                "adjoint integration needs an explicit-params RHS "
+                "(rhs_with_params / rhs_params)"
+            )
+        grid = solver.time_grid(t0, t1)
+        if grid is None:
+            import jax.numpy as jnp
+
+            grid = jnp.asarray([t0, t1], jnp.float32)
+        return odeint_final_adjoint(
+            solver.tableau(), rhs_with_params, rhs_params, y0, grid,
+            unroll=unroll,
+        )
     return solver.integrate_final(rhs, y0, t0, t1, remat=remat, unroll=unroll)
 
 
@@ -62,8 +81,16 @@ def meta_integrate(
     aux_in: Optional[Dict[str, Any]] = None,
     remat: bool = False,
     unroll: int = 1,
+    adjoint: bool = False,
+    rhs_params: Any = None,
+    rhs_with_params=None,
 ) -> Tuple[jax.Array, Dict[str, Any]]:
     """Integrate ``y0`` over [t0, t1] under the configured regime.
+
+    ``adjoint=True`` switches to continuous-adjoint differentiation
+    (ops/adjoint.py, O(1) activation memory in n_steps); the RHS must then be
+    given in explicit-params form via ``rhs_with_params(params, t, y)`` +
+    ``rhs_params`` (``rhs`` is ignored for the solve itself).
 
     Returns ``(y(t1), aux)`` where aux records the stochastic choices
     (``switch_solver_id`` / ``ensemble_coin_flip``).  Passing ``aux_in``
@@ -77,8 +104,11 @@ def meta_integrate(
         raise ValueError(f"unknown solver_mode {mode!r}")
     aux: Dict[str, Any] = {}
 
+    adj = dict(adjoint=adjoint, rhs_params=rhs_params,
+               rhs_with_params=rhs_with_params)
+
     if mode == "standalone" or n == 1:
-        y = _integrate_one(solvers[0], rhs, y0, t0, t1, remat, unroll)
+        y = _integrate_one(solvers[0], rhs, y0, t0, t1, remat, unroll, **adj)
 
     elif mode == "switch":
         if aux_in is not None and "switch_solver_id" in aux_in:
@@ -92,7 +122,8 @@ def meta_integrate(
                 p = jnp.full((n,), 1.0 / n, jnp.float32)
             solver_id = jax.random.choice(key, n, p=p)
         branches = [
-            (lambda s: lambda y: _integrate_one(s, rhs, y, t0, t1, remat, unroll))(s)
+            (lambda s: lambda y: _integrate_one(
+                s, rhs, y, t0, t1, remat, unroll, **adj))(s)
             for s in solvers
         ]
         y = lax.switch(solver_id, branches, y0)
@@ -113,12 +144,13 @@ def meta_integrate(
         def all_members(y):
             out = None
             for wi, s in zip(weights, solvers):
-                yi = _integrate_one(s, rhs, y, t0, t1, remat, unroll)
+                yi = _integrate_one(s, rhs, y, t0, t1, remat, unroll, **adj)
                 out = wi * yi if out is None else out + wi * yi
             return out
 
         def first_member(y):
-            return _integrate_one(solvers[0], rhs, y, t0, t1, remat, unroll)
+            return _integrate_one(solvers[0], rhs, y, t0, t1, remat, unroll,
+                                  **adj)
 
         y = lax.cond(coin, all_members, first_member, y0)
         aux["ensemble_coin_flip"] = coin
