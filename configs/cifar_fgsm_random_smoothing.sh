@@ -1,0 +1,10 @@
+#!/bin/sh
+# Config 4 (FLAGSHIP): FGSM-random adversarial training with solver smoothing
+# (eps=8/255, alpha=10/255, Normal sigma=0.0125 noise on u, cyclic LR
+# triangular2 base 1e-7 max 0.1 step_size_up 3186, 36 epochs)
+python -m neural_ode_metasolver_tpu.runners.cifar_runner \
+    --network premetanode10 --solvers "rk2,u,8,-1,0.5,-1" \
+    --adv_training_mode fgsm_random \
+    --noise_type normal --noise_sigma 0.0125 --noise_prob 1.0 \
+    --adv_testing_mode at \
+    --nepochs 36 --save_dir ./experiment_cifar_smoothing "$@"

@@ -148,6 +148,19 @@ def fit(
     key, k_init = jax.random.split(key)
     ts = create_train_state(model, tx, k_init)
 
+    # Resume from the rolling 'last' checkpoint when requested (the resume
+    # path the reference never wired — SURVEY.md §5 checkpoint/resume gap).
+    save_dir = getattr(args, "save_dir", None)
+    if getattr(args, "resume", False) and save_dir:
+        from ..training import restore_checkpoint
+
+        last_dir = os.path.join(save_dir, "last")
+        try:
+            ts, _ = restore_checkpoint(last_dir, ts)
+            logger.info(f"resumed from {last_dir} at step {int(ts.step)}")
+        except FileNotFoundError:
+            logger.info("no checkpoint to resume from; starting fresh")
+
     solver_options = build_solver_options(args)
     attack_cfg = AttackConfig(
         mode=getattr(args, "adv_training_mode", "clean"),

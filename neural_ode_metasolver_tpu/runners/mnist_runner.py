@@ -83,6 +83,7 @@ def parse_args(argv=None):
                    help="dir with MNIST IDX files; synthetic data if unset")
     p.add_argument("--save_dir", type=str, default="./experiment_mnist")
     p.add_argument("--debug", action="store_true")
+    p.add_argument("--resume", action="store_true")
     p.add_argument("--synthetic_train_size", type=int, default=4096)
     p.add_argument("--synthetic_test_size", type=int, default=1024)
     return p.parse_args(argv)

@@ -183,6 +183,7 @@ def make_train_step(
     donate: bool = True,
     jit_compile: bool = True,
     compute_dtype=None,
+    skip_nonfinite: bool = False,
 ):
     """Returns ``step(ts, x, y, key) -> (ts, metrics)`` (jitted unless
     ``jit_compile=False`` — e.g. when the caller re-jits with mesh shardings
@@ -231,14 +232,32 @@ def make_train_step(
         updates, new_opt_state = tx.update(grads, ts.opt_state, ts.params)
         new_params = optax.apply_updates(ts.params, updates)
 
+        gnorm = optax.global_norm(grads)
+        if skip_nonfinite:
+            # Failure containment: a non-finite loss/grad skips the update
+            # instead of poisoning the params (production-run guard the
+            # reference lacks; the epoch is not lost, just the batch).
+            ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+            new_params = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old),
+                new_params, ts.params,
+            )
+            new_opt_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old)
+                if hasattr(new, "dtype") else new,
+                new_opt_state, ts.opt_state,
+            )
+
         acc = jnp.mean((jnp.argmax(logits, axis=-1) == y).astype(jnp.float32))
         metrics = {
             "loss": loss,
             "xentropy": xent,
             "ss_loss": ss,
             "accuracy": acc,
-            "grad_norm": optax.global_norm(grads),
+            "grad_norm": gnorm,
         }
+        if skip_nonfinite:
+            metrics["skipped_nonfinite"] = (~ok).astype(jnp.float32)
         ts = ts.replace(
             step=ts.step + 1,
             params=new_params,

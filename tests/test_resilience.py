@@ -1,0 +1,73 @@
+"""Failure-containment and resume tests: non-finite-batch skipping, and
+training resumption from the rolling checkpoint via the runner CLI."""
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neural_ode_metasolver_tpu.models.api import build_model
+from neural_ode_metasolver_tpu.ops import SolverOptions, create_solver
+from neural_ode_metasolver_tpu.training import (
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+)
+
+SOLVERS = [create_solver("rk2", "u", n_steps=2, u0=0.5)]
+
+
+def test_skip_nonfinite_preserves_params():
+    model = build_model("mnist", dim=16)
+    tx = make_optimizer("sgd", 0.05, momentum=0.9)
+    ts = create_train_state(model, tx, jax.random.key(0))
+    step = make_train_step(model, tx, SOLVERS, SolverOptions(),
+                           skip_nonfinite=True, donate=False)
+
+    x_bad = jnp.full((4, 28, 28, 1), jnp.nan, jnp.float32)
+    y = jnp.zeros((4,), jnp.int32)
+    ts2, m = step(ts, x_bad, y, jax.random.key(1))
+    assert float(m["skipped_nonfinite"]) == 1.0
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ts.params),
+        jax.tree_util.tree_leaves(ts2.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    x_good = jnp.ones((4, 28, 28, 1), jnp.float32)
+    ts3, m = step(ts2, x_good, y, jax.random.key(2))
+    assert float(m["skipped_nonfinite"]) == 0.0
+    # params moved this time
+    moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ts2.params),
+            jax.tree_util.tree_leaves(ts3.params),
+        )
+    )
+    assert moved
+
+
+def test_runner_resume(tmp_path):
+    from neural_ode_metasolver_tpu.runners import mnist_runner
+
+    save = str(tmp_path / "exp")
+    base_args = [
+        "--solvers", "rk2,u,2,-1,0.5,-1",
+        "--nepochs", "1",
+        "--batch_size", "16",
+        "--test_batch_size", "16",
+        "--synthetic_train_size", "32",
+        "--synthetic_test_size", "16",
+        "--save_dir", save,
+    ]
+    mnist_runner.main(base_args)
+    steps1 = sorted(glob.glob(os.path.join(save, "last", "step_*")))
+    assert steps1
+    step1 = int(steps1[-1].split("_")[-1])
+
+    mnist_runner.main(base_args + ["--resume"])
+    steps2 = sorted(glob.glob(os.path.join(save, "last", "step_*")))
+    step2 = int(steps2[-1].split("_")[-1])
+    assert step2 == 2 * step1  # continued, not restarted
