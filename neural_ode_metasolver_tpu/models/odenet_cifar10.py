@@ -36,7 +36,7 @@ Faithful-behavior decisions (SURVEY.md §7 "hard parts", quirks 6-8):
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax

@@ -31,7 +31,7 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 
-from .integrate import _scan_steps, make_time_grid
+from .integrate import _scan_steps
 from .tableau import ButcherTableau
 
 Array = jax.Array

@@ -21,7 +21,6 @@ RHS activations in the backward pass to trade FLOPs for HBM.
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional, Sequence, Union
 
 import jax

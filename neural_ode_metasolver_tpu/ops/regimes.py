@@ -23,7 +23,7 @@ Solver *smoothing* is not a dispatch mode: it perturbs u/v before the forward
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax

@@ -14,10 +14,8 @@ the inline loop of ``examples/cifar10/train_and_attack.py:511-564``:
 """
 from __future__ import annotations
 
-import json
 import os
 import time
-from dataclasses import asdict
 from typing import Callable, Optional, Sequence
 
 import jax
@@ -182,8 +180,15 @@ def fit(
         ss_loss_reg=getattr(args, "ss_loss_reg", 0.1),
         data_noise_std=getattr(args, "data_noise_std", 0.0),
     )
+    import jax.numpy as jnp
+
+    compute_dtype = (
+        jnp.bfloat16 if getattr(args, "precision", "f32") == "bf16" else None
+    )
     step = make_train_step(
         model, tx, solvers, solver_options, attack_cfg, noise_cfg, loss_cfg,
+        compute_dtype=compute_dtype,
+        skip_nonfinite=getattr(args, "skip_nonfinite", False),
     )
     config = dict(config or {})
     save_dir = getattr(args, "save_dir", None)

@@ -13,7 +13,6 @@ import os
 import jax
 
 from ..data import (
-    Dataset,
     batch_iterator,
     load_mnist,
     synthetic_dataset,
@@ -84,6 +83,10 @@ def parse_args(argv=None):
     p.add_argument("--save_dir", type=str, default="./experiment_mnist")
     p.add_argument("--debug", action="store_true")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--precision", type=str, default="f32",
+                   choices=["f32", "bf16"],
+                   help="compute precision (bf16 = mixed precision, the "
+                        "apex-O1 analog; master params stay f32)")
     p.add_argument("--synthetic_train_size", type=int, default=4096)
     p.add_argument("--synthetic_test_size", type=int, default=1024)
     return p.parse_args(argv)

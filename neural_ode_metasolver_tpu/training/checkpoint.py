@@ -12,7 +12,6 @@ import json
 import os
 from typing import Any, Dict, Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 from .train import TrainState

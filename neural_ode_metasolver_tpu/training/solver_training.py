@@ -14,7 +14,7 @@ of (u0, v0) when requested.
 """
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence
+from typing import Any, List, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +25,7 @@ from ..attacks import cross_entropy
 from ..models.api import Model
 from ..ops.regimes import SolverOptions
 from ..ops.solver import ParametricSolver
-from .train import AttackConfig, LossConfig, NoiseConfig, _cast_model, _run_attack
+from .train import AttackConfig, LossConfig, _cast_model, _run_attack
 
 Array = jax.Array
 

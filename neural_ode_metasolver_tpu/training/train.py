@@ -19,8 +19,8 @@ differentiation through two full ODE solves — is traced once and compiled.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, Dict, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
