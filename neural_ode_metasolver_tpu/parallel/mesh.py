@@ -25,12 +25,33 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
+    "initialize_distributed",
     "make_mesh",
     "batch_sharding",
     "replicated",
     "shard_params_tp",
     "make_parallel_train_step",
 ]
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+):
+    """Multi-host initialization (DCN) — call once per process before any
+    device use.  On TPU pods with standard environments, all arguments are
+    auto-detected; afterwards ``jax.devices()`` spans every host and
+    ``make_mesh`` lays global meshes over ICI+DCN.  Single-host callers can
+    skip this entirely."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
 
 
 def make_mesh(
