@@ -8,6 +8,7 @@ from .datasets import (
     batch_iterator,
     inf_generator,
     load_cifar10,
+    load_digits_dataset,
     load_mnist,
     load_svhn,
     synthetic_dataset,
@@ -22,6 +23,7 @@ __all__ = [
     "batch_iterator",
     "inf_generator",
     "load_cifar10",
+    "load_digits_dataset",
     "load_mnist",
     "load_svhn",
     "synthetic_dataset",

@@ -116,6 +116,30 @@ def load_svhn(data_root: str, split: str = "train") -> Dataset:
     return Dataset(x, y)
 
 
+def load_digits_dataset(upscale: int = 28, test_frac: float = 0.2,
+                        seed: int = 0):
+    """Real handwritten digits without network access: scikit-learn's bundled
+    UCI digits (1797 8x8 grayscale images), bilinearly upscaled to the MNIST
+    geometry.  Returns (train Dataset, test Dataset).  Used as the offline
+    stand-in for MNIST in golden end-to-end learning tests."""
+    from scipy.ndimage import zoom
+    from sklearn.datasets import load_digits
+
+    d = load_digits()
+    imgs = d.images.astype(np.float32) / 16.0
+    factor = upscale / imgs.shape[1]
+    imgs = zoom(imgs, (1, factor, factor), order=1)[..., None]
+    imgs = np.clip(imgs, 0.0, 1.0)
+    labels = d.target.astype(np.int32)
+    idx = np.random.RandomState(seed).permutation(len(labels))
+    n_test = int(len(labels) * test_frac)
+    test_idx, train_idx = idx[:n_test], idx[n_test:]
+    return (
+        Dataset(imgs[train_idx], labels[train_idx]),
+        Dataset(imgs[test_idx], labels[test_idx]),
+    )
+
+
 def synthetic_dataset(
     n: int,
     image_shape: Tuple[int, int, int],

@@ -79,7 +79,11 @@ def parse_args(argv=None):
     p.add_argument("--data_noise_std", type=float, default=0.0)
     # io
     p.add_argument("--data_root", type=str, default=None,
-                   help="dir with MNIST IDX files; synthetic data if unset")
+                   help="dir with MNIST IDX files; fallback data if unset")
+    p.add_argument("--fallback_dataset", type=str, default="synthetic",
+                   choices=["synthetic", "digits"],
+                   help="without --data_root: synthetic blobs or sklearn's "
+                        "real handwritten digits (offline)")
     p.add_argument("--save_dir", type=str, default="./experiment_mnist")
     p.add_argument("--debug", action="store_true")
     p.add_argument("--resume", action="store_true")
@@ -114,6 +118,11 @@ def main(argv=None):
     if args.data_root:
         train_ds = load_mnist(args.data_root, train=True)
         test_ds = load_mnist(args.data_root, train=False)
+    elif args.fallback_dataset == "digits":
+        from ..data import load_digits_dataset
+
+        logger.warning("no --data_root: using sklearn handwritten digits")
+        train_ds, test_ds = load_digits_dataset(seed=args.seed)
     else:
         logger.warning("no --data_root: falling back to synthetic data")
         train_ds = synthetic_dataset(args.synthetic_train_size, (28, 28, 1), seed=args.seed)
