@@ -6,6 +6,11 @@ For each u0 in the grid and each seed: train an MNIST MetaNODE with a frozen
 RK2(u0) solver, evaluate clean + PGD robust accuracy, and write a CSV of
 (u0, seed, clean_acc, robust_acc) — the data for the mean±sem curve.
 
+TPU-native sweep efficiency: the solver's u enters the jitted train/eval
+steps as a *traced argument* (``dynamic_solvers``), so the entire sweep
+shares ONE compilation per step function — u is data, not a compile-time
+constant.
+
   python -m neural_ode_metasolver_tpu.runners.u_sweep \
       --u_grid 0.1,0.3,0.5,0.6667,0.8,1.0 --seeds 1,2,3 \
       --nepochs 3 --data_root /path/to/mnist
@@ -16,16 +21,16 @@ import argparse
 import csv
 
 import jax
+import jax.numpy as jnp
 
+from ..attacks import cross_entropy, pgd
 from ..data import batch_iterator, load_mnist, synthetic_dataset
 from ..models.api import build_model
 from ..ops import SolverOptions, create_solver
 from ..training import (
-    AttackConfig,
-    accuracy,
-    adversarial_accuracy,
     create_train_state,
     learning_rate_with_decay,
+    make_eval_step,
     make_optimizer,
     make_train_step,
 )
@@ -45,10 +50,14 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--lr", type=float, default=0.001)
     p.add_argument("--optim", type=str, default="rmsprop")
+    p.add_argument("--adv_training_mode", type=str, default="clean",
+                   choices=["clean", "at"])
     p.add_argument("--eps", type=float, default=0.3)
     p.add_argument("--pgd_lr", type=float, default=2 / 255)
     p.add_argument("--pgd_niter", type=int, default=7)
     p.add_argument("--data_root", type=str, default=None)
+    p.add_argument("--fallback_dataset", type=str, default="synthetic",
+                   choices=["synthetic", "digits"])
     p.add_argument("--synthetic_train_size", type=int, default=2048)
     p.add_argument("--synthetic_test_size", type=int, default=512)
     p.add_argument("--dim", type=int, default=64)
@@ -63,6 +72,11 @@ def main(argv=None):
     if args.data_root:
         train_ds = load_mnist(args.data_root, train=True)
         test_ds = load_mnist(args.data_root, train=False)
+    elif args.fallback_dataset == "digits":
+        from ..data import load_digits_dataset
+
+        logger.warning("no --data_root: real sklearn handwritten digits")
+        train_ds, test_ds = load_digits_dataset(seed=0)
     else:
         logger.warning("no --data_root: synthetic data")
         train_ds = synthetic_dataset(args.synthetic_train_size, (28, 28, 1),
@@ -72,18 +86,52 @@ def main(argv=None):
 
     model = build_model("mnist", dim=args.dim)
     opts = SolverOptions()
-    pgd_cfg = AttackConfig(mode="at", eps=args.eps, pgd_lr=args.pgd_lr,
-                           pgd_niter=args.pgd_niter)
+    ref_solver = create_solver("rk2", "u", n_steps=args.n_steps, u0=0.5)
+
+    batches_per_epoch = max(len(train_ds) // args.batch_size, 1)
+    sched = learning_rate_with_decay(
+        args.lr, args.batch_size, batches_per_epoch
+    )
+    tx = make_optimizer(args.optim, sched, weight_decay=5e-4)
+    from ..training.train import AttackConfig
+
+    train_attack = AttackConfig(
+        mode=args.adv_training_mode, eps=args.eps,
+        pgd_lr=args.pgd_lr, pgd_niter=args.pgd_niter,
+    )
+    # ONE compiled step/predict reused for every (u, seed) configuration.
+    step = make_train_step(model, tx, [ref_solver], opts,
+                           attack_cfg=train_attack)
+    predict = make_eval_step(model, [ref_solver], opts)
+
+    @jax.jit
+    def pgd_logits(params, state, x, y, key, solvers):
+        def fwd(xi):
+            logits, _, _ = model.apply(params, state, xi, list(solvers), opts,
+                                       train=False)
+            return logits
+
+        xa, _ = pgd(fwd, key, x, y, args.eps, args.pgd_lr, args.pgd_niter)
+        return fwd(xa)
+
+    def evaluate(ts, solvers, key):
+        correct = adv_correct = total = 0
+        for x, y in batch_iterator(test_ds, 256, shuffle=False,
+                                   drop_last=False):
+            x, y = jnp.asarray(x), jnp.asarray(y)
+            logits = predict(ts.params, ts.model_state, x,
+                             dynamic_solvers=solvers)
+            correct += int(jnp.sum(jnp.argmax(logits, -1) == y))
+            key, sub = jax.random.split(key)
+            alogits = pgd_logits(ts.params, ts.model_state, x, y, sub,
+                                 tuple(solvers))
+            adv_correct += int(jnp.sum(jnp.argmax(alogits, -1) == y))
+            total += int(y.shape[0])
+        return correct / total, adv_correct / total
 
     rows = []
     for u0 in args.u_grid:
         solvers = [create_solver("rk2", "u", n_steps=args.n_steps, u0=u0)]
-        batches_per_epoch = len(train_ds) // args.batch_size
-        sched = learning_rate_with_decay(
-            args.lr, args.batch_size, batches_per_epoch
-        )
-        tx = make_optimizer(args.optim, sched, weight_decay=5e-4)
-        step = make_train_step(model, tx, solvers, opts)
         for seed in args.seeds:
             key = jax.random.key(seed)
             key, k_init = jax.random.split(key)
@@ -93,17 +141,10 @@ def main(argv=None):
                                            seed=seed * 1000 + epoch,
                                            crop_padding=4):
                     key, sub = jax.random.split(key)
-                    ts, m = step(ts, jax.numpy.asarray(x),
-                                 jax.numpy.asarray(y), sub)
-            clean_acc = accuracy(
-                model, ts.params, ts.model_state, solvers, opts,
-                batch_iterator(test_ds, 256, shuffle=False),
-            )
-            key, k_adv = jax.random.split(key)
-            robust_acc = adversarial_accuracy(
-                model, ts.params, ts.model_state, solvers, opts,
-                batch_iterator(test_ds, 256, shuffle=False), pgd_cfg, k_adv,
-            )
+                    ts, m = step(ts, jnp.asarray(x), jnp.asarray(y), sub,
+                                 dynamic_solvers=solvers)
+            key, k_eval = jax.random.split(key)
+            clean_acc, robust_acc = evaluate(ts, solvers, k_eval)
             logger.info(
                 f"u0={u0:.4f} seed={seed} clean={clean_acc:.4f} "
                 f"pgd={robust_acc:.4f}"

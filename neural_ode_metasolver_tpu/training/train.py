@@ -198,10 +198,16 @@ def make_train_step(
     """
     model = _cast_model(model, compute_dtype)
 
-    def step(ts: TrainState, x: Array, y: Array, key: Array):
+    def step(ts: TrainState, x: Array, y: Array, key: Array,
+             dynamic_solvers=None):
+        """``dynamic_solvers`` (optional pytree of ParametricSolvers with the
+        same static structure) overrides the closed-over solver list *as a
+        traced argument*, so e.g. a u-sweep reuses ONE compilation across all
+        coefficient values instead of re-jitting per u."""
         k_noise, k_attack, k_afwd, k_fwd, k_data = jax.random.split(key, 5)
 
-        solvers_t = _noise_solvers(solvers, k_noise, noise_cfg)
+        base = solvers if dynamic_solvers is None else list(dynamic_solvers)
+        solvers_t = _noise_solvers(base, k_noise, noise_cfg)
 
         x_adv = _run_attack(
             model, ts.params, ts.model_state, solvers_t, solver_options,
@@ -280,12 +286,17 @@ def make_eval_step(
     unroll: int = 1,
     compute_dtype=None,
 ):
-    """Returns jitted ``predict(params, state, x, key) -> logits``."""
+    """Returns jitted ``predict(params, state, x, key) -> logits``.
+
+    ``predict`` also accepts ``dynamic_solvers`` to override the solver list
+    as a traced argument (single compilation across coefficient sweeps)."""
     model = _cast_model(model, compute_dtype)
 
-    def predict(params, state, x, key=None):
+    def predict(params, state, x, key=None, dynamic_solvers=None):
         logits, _, _ = model.apply(
-            params, state, x, solvers, solver_options, key=key, train=False,
+            params, state, x,
+            solvers if dynamic_solvers is None else list(dynamic_solvers),
+            solver_options, key=key, train=False,
             remat=remat, unroll=unroll,
         )
         return logits

@@ -312,3 +312,33 @@ def test_data_pipeline():
     x, y = batches[0]
     assert x.shape == (16, 32, 32, 3) and x.dtype == np.float32
     assert float(np.abs(x).max()) <= (1.0 / 0.25) + 1e-6
+
+
+def test_dynamic_solvers_match_closed_over():
+    """dynamic_solvers (traced-solver sweep support) must produce the same
+    update as a step compiled with that solver closed over."""
+    from neural_ode_metasolver_tpu.ops import create_solver
+
+    model = small_mnist_model()
+    tx = make_optimizer("sgd", 0.05, momentum=0.9)
+    ts = create_train_state(model, tx, jax.random.key(0))
+    s_a = create_solver("rk2", "u", n_steps=2, u0=0.5)
+    s_b = create_solver("rk2", "u", n_steps=2, u0=0.9)
+    step_a = make_train_step(model, tx, [s_a], OPTS, donate=False)
+    step_b = make_train_step(model, tx, [s_b], OPTS, donate=False)
+
+    x, y = tiny_batches(1)[0]
+    x, y = jnp.asarray(x), jnp.asarray(y)
+    key = jax.random.key(7)
+
+    ts_b_direct, m_direct = step_b(ts, x, y, key)
+    # step compiled for s_a, executed with s_b as a dynamic argument
+    ts_b_dyn, m_dyn = step_a(ts, x, y, key, dynamic_solvers=[s_b])
+    np.testing.assert_allclose(
+        float(m_direct["loss"]), float(m_dyn["loss"]), rtol=1e-6
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ts_b_direct.params),
+        jax.tree_util.tree_leaves(ts_b_dyn.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
