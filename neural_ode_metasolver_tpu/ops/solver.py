@@ -57,6 +57,11 @@ class ParametricSolver:
     v0: Optional[float] = struct.field(pytree_node=False, default=None)
     n_steps: Optional[int] = struct.field(pytree_node=False, default=None)
     step_size: Optional[float] = struct.field(pytree_node=False, default=None)
+    # Explicit integration grid (reference's custom ``grid_constructor``,
+    # rk_parametric.py:17-18) as a static tuple of time points; overrides
+    # n_steps/step_size when set (used e.g. for non-uniform eval grids).
+    custom_grid: Optional[tuple] = struct.field(pytree_node=False,
+                                                default=None)
     frozen: bool = struct.field(pytree_node=False, default=True)
 
     # -- parameters ---------------------------------------------------------
@@ -103,6 +108,8 @@ class ParametricSolver:
 
     # -- integration --------------------------------------------------------
     def time_grid(self, t0: float = 0.0, t1: float = 1.0):
+        if self.custom_grid is not None:
+            return jnp.asarray(self.custom_grid, jnp.float32)
         if self.n_steps is None and self.step_size is None:
             return None
         return make_time_grid(
@@ -112,6 +119,12 @@ class ParametricSolver:
     def integrate(self, rhs, y0, t, *, remat: bool = False, unroll: int = 1):
         """Reference-parity integrate: trajectory at requested times ``t``
         (rk_parametric.py:89-113), shape ``(len(t), *y0.shape)``."""
+        if self.custom_grid is not None:
+            return odeint(
+                self.tableau(), rhs, y0, t,
+                time_grid=jnp.asarray(self.custom_grid, jnp.float32),
+                remat=remat, unroll=unroll,
+            )
         return odeint(
             self.tableau(), rhs, y0, t,
             n_steps=self.n_steps, step_size=self.step_size,
@@ -123,11 +136,16 @@ class ParametricSolver:
         *, remat: bool = False, unroll: int = 1,
     ):
         """Fast path: only y(t1) — what the ODE blocks actually consume."""
+        if self.custom_grid is not None:
+            grid = jnp.asarray(self.custom_grid, jnp.float32)
+        elif self.n_steps or self.step_size:
+            grid = None
+        else:
+            grid = jnp.asarray([t0, t1], jnp.float32)
         return odeint_final(
             self.tableau(), rhs, y0, t0, t1,
             n_steps=self.n_steps, step_size=self.step_size,
-            time_grid=None if (self.n_steps or self.step_size) else
-            jnp.asarray([t0, t1], jnp.float32),
+            time_grid=grid,
             remat=remat, unroll=unroll,
         )
 

@@ -199,3 +199,23 @@ def test_dsl_parse():
     assert solvers[0].method == "rk2" and solvers[0].n_steps == 8
     assert float(solvers[0].u) == 0.5
     assert solvers[1].method == "rk4" and solvers[1].parameterization == "u2"
+
+
+def test_solver_custom_grid():
+    """Reference grid_constructor parity: a non-uniform explicit grid."""
+    s = create_solver("rk2", "u", u0=0.5).replace(
+        custom_grid=(0.0, 0.1, 0.5, 1.0)
+    )
+    y0 = jnp.ones((2,), jnp.float64)
+    yf = s.integrate_final(linear_rhs, y0)
+    # manual non-uniform stepping with the same tableau
+    from neural_ode_metasolver_tpu.ops import rk2_tableau, odeint_final
+
+    expected = odeint_final(
+        rk2_tableau(jnp.float32(0.5)), linear_rhs, y0,
+        time_grid=jnp.asarray([0.0, 0.1, 0.5, 1.0], jnp.float32),
+    )
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(expected), atol=0)
+    traj = s.integrate(linear_rhs, y0, jnp.asarray([0.0, 1.0]))
+    np.testing.assert_allclose(np.asarray(traj[-1]), np.asarray(yf),
+                               atol=1e-7)
