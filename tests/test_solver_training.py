@@ -81,3 +81,39 @@ def test_solver_training_under_adversarial_mode():
     ts, m = step(ts, jnp.asarray(x), jnp.asarray(y), jax.random.key(0))
     assert np.isfinite(float(m["loss"]))
     assert int(ts.step) == 1
+
+
+def test_learning_u_moves_toward_classical_optimum():
+    """Gradient descent on integration error moves u from 0.25 toward the
+    classical RK2 error-minimizing region (~2/3) — the framework's core
+    differentiable-solver premise, with no network involved."""
+    import optax
+    from neural_ode_metasolver_tpu.ops import odeint_final, rk2_tableau
+
+    def rhs(a, t, y):
+        return jnp.tanh(a[0] * y) + a[1] * jnp.sin(2.0 * t + a[2])
+
+    def loss_fn(u, key):
+        a = jax.random.normal(key, (3,), jnp.float32)
+        y0 = jax.random.normal(jax.random.fold_in(key, 1), (8,), jnp.float32)
+        f = lambda t, y: rhs(a, t, y)
+        coarse = odeint_final(rk2_tableau(u), f, y0, 0.0, 1.0, n_steps=4)
+        fine = odeint_final(rk2_tableau(jnp.float32(2 / 3)), f, y0, 0.0, 1.0,
+                            n_steps=256)
+        return jnp.mean((coarse - fine) ** 2)
+
+    tx = optax.adam(5e-3)
+    u = jnp.float32(0.25)
+    opt_state = tx.init(u)
+
+    @jax.jit
+    def step(u, opt_state, key):
+        loss, g = jax.value_and_grad(loss_fn)(u, key)
+        updates, opt_state = tx.update(g, opt_state)
+        return optax.apply_updates(u, updates), opt_state, loss
+
+    key = jax.random.key(0)
+    for i in range(300):
+        key, sub = jax.random.split(key)
+        u, opt_state, _ = step(u, opt_state, sub)
+    assert 0.42 < float(u) < 0.9, float(u)
