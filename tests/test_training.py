@@ -342,3 +342,17 @@ def test_dynamic_solvers_match_closed_over():
         jax.tree_util.tree_leaves(ts_b_dyn.params),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_adversarial_accuracy_pgd_mode():
+    model = small_mnist_model()
+    tx = make_optimizer("sgd", 0.01)
+    ts = create_train_state(model, tx, jax.random.key(0))
+    ds = synthetic_dataset(32, (28, 28, 1), seed=7)
+    adv = adversarial_accuracy(
+        model, ts.params, ts.model_state, SOLVERS, OPTS,
+        batch_iterator(ds, 16, shuffle=False),
+        AttackConfig(mode="at", eps=0.1, pgd_lr=0.03, pgd_niter=3),
+        jax.random.key(0),
+    )
+    assert 0.0 <= adv <= 1.0
