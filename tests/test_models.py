@@ -360,3 +360,34 @@ def test_mnist_odefunc_matches_torch_reference_structure():
             .transpose(0, 2, 3, 1)
         )
     np.testing.assert_allclose(np.asarray(y), yt, atol=5e-5)
+
+
+def test_switch_mode_with_ss_loss_replays_choice():
+    """Reference quirk 5: switch + ss_loss raises NameError there; here the
+    ss pass must replay the forward's sampled solver id."""
+    cfg = MnistConfig(dim=16)
+    params = init_mnist(jax.random.key(0), cfg)
+    solvers = [
+        create_solver("rk2", "u", n_steps=2, u0=0.5),
+        create_solver("rk2", "u", n_steps=2, u0=1.0),
+    ]
+    x = jax.random.normal(jax.random.key(1), (2, 28, 28, 1), jnp.float32)
+    logits, aux = apply_mnist(
+        params, x, solvers,
+        SolverOptions(solver_mode="switch", switch_probs=[0.5, 0.5]),
+        cfg=cfg, key=jax.random.key(3), ss_loss=True,
+    )
+    assert np.isfinite(np.asarray(logits)).all()
+    assert float(aux["ss_loss"]) > 0
+
+
+def test_euler_through_model():
+    cfg = MnistConfig(dim=16)
+    params = init_mnist(jax.random.key(0), cfg)
+    from neural_ode_metasolver_tpu.ops import create_solver as cs
+
+    solvers = [cs("euler", None, n_steps=4)]
+    x = jnp.ones((2, 28, 28, 1), jnp.float32)
+    logits, _ = apply_mnist(params, x, solvers, SolverOptions(), cfg=cfg)
+    assert logits.shape == (2, 10)
+    assert np.isfinite(np.asarray(logits)).all()
