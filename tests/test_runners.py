@@ -79,3 +79,21 @@ def test_attacks_runner_sweep(tmp_path):
     assert modes == {"clean", "fgsm"}
     for r in rows:
         assert 0.0 <= float(r["accuracy"]) <= 1.0
+
+
+def test_mnist_runner_bf16_precision(tmp_path):
+    from neural_ode_metasolver_tpu.runners import mnist_runner
+
+    save = str(tmp_path / "bf16_exp")
+    mnist_runner.main([
+        "--solvers", "rk2,u,2,-1,0.5,-1",
+        "--precision", "bf16",
+        "--nepochs", "1",
+        "--batch_size", "16",
+        "--test_batch_size", "16",
+        "--synthetic_train_size", "32",
+        "--synthetic_test_size", "16",
+        "--save_dir", save,
+    ])
+    import glob, os
+    assert glob.glob(os.path.join(save, "last", "step_*"))
