@@ -1,0 +1,128 @@
+"""Four-regime evaluation of one trained model — the reference's
+``Evaluate the model.ipynb`` table (cells 13-28): standalone / solver
+switching / solver ensembling / model ensembling (noised solvers +
+ensemble-FGSM), clean and under FGSM attack, on real handwritten digits.
+
+  python scripts/digits_regimes_eval.py --nepochs 36
+"""
+import argparse
+import csv
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), "..",
+                                   ".jax_cache"))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+from neural_ode_metasolver_tpu.data import batch_iterator, load_digits_dataset
+from neural_ode_metasolver_tpu.models.api import build_model
+from neural_ode_metasolver_tpu.ops import (
+    SolverOptions,
+    create_solver,
+    solver_ensemble_by_noising,
+)
+from neural_ode_metasolver_tpu.training import (
+    AttackConfig,
+    accuracy,
+    accuracy_ensemble,
+    adversarial_accuracy,
+    adversarial_accuracy_ensemble,
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--nepochs", type=int, default=36)
+    p.add_argument("--eps", type=float, default=0.3)
+    p.add_argument("--output_csv", type=str,
+                   default="results/digits_regimes.csv")
+    args = p.parse_args()
+
+    train_ds, test_ds = load_digits_dataset(seed=0)
+    model = build_model("mnist", dim=64)
+    s05 = create_solver("rk2", "u", n_steps=8, u0=0.5)
+    s10 = create_solver("rk2", "u", n_steps=8, u0=1.0)
+    opts = SolverOptions()
+    tx = make_optimizer("rmsprop", 1e-3, weight_decay=5e-4)
+    step = make_train_step(
+        model, tx, [s05], opts,
+        attack_cfg=AttackConfig(mode="at", eps=args.eps, pgd_lr=2 / 255,
+                                pgd_niter=7),
+    )
+    key = jax.random.key(args.seed)
+    key, k_init = jax.random.split(key)
+    ts = create_train_state(model, tx, k_init)
+    for epoch in range(args.nepochs):
+        for x, y in batch_iterator(train_ds, 128,
+                                   seed=args.seed * 977 + epoch,
+                                   crop_padding=4):
+            key, sub = jax.random.split(key)
+            ts, _ = step(ts, jnp.asarray(x), jnp.asarray(y), sub)
+
+    data = lambda: batch_iterator(test_ds, 256, shuffle=False,
+                                  drop_last=False)
+    fgsm = AttackConfig(mode="fgsm", eps=args.eps)
+    P, S = ts.params, ts.model_state
+    rows = []
+
+    def record(regime, clean, adv):
+        print(f"{regime:22s} clean={clean:.4f} fgsm={adv:.4f}", flush=True)
+        rows.append({"regime": regime, "clean_acc": clean, "fgsm_acc": adv})
+
+    # 1. standalone
+    record(
+        "standalone",
+        accuracy(model, P, S, [s05], opts, data()),
+        adversarial_accuracy(model, P, S, [s05], opts, data(), fgsm,
+                             jax.random.key(10)),
+    )
+    # 2. solver switching [0.6, 0.4]
+    sw = SolverOptions(solver_mode="switch", switch_probs=[0.6, 0.4])
+    record(
+        "switch[0.6,0.4]",
+        accuracy(model, P, S, [s05, s10], sw, data(), key=jax.random.key(11)),
+        adversarial_accuracy(model, P, S, [s05, s10], sw, data(), fgsm,
+                             jax.random.key(12)),
+    )
+    # 3. solver ensembling [0.6, 0.4]
+    en = SolverOptions(solver_mode="ensemble", ensemble_prob=1.0,
+                       ensemble_weights=[0.6, 0.4])
+    record(
+        "solver_ens[0.6,0.4]",
+        accuracy(model, P, S, [s05, s10], en, data(), key=jax.random.key(13)),
+        adversarial_accuracy(model, P, S, [s05, s10], en, data(), fgsm,
+                             jax.random.key(14)),
+    )
+    # 4. model ensembling over noised solvers (sigma=0.2 normal)
+    noised = solver_ensemble_by_noising(s05, jax.random.key(15),
+                                        ensemble_size=2, std=0.2,
+                                        noise_type="normal")
+    members = [(P, S, [s], SolverOptions()) for s in noised]
+    record(
+        "model_ensembling",
+        accuracy_ensemble(model, members, data()),
+        adversarial_accuracy_ensemble(model, members, data(), fgsm,
+                                      jax.random.key(16)),
+    )
+
+    os.makedirs(os.path.dirname(args.output_csv) or ".", exist_ok=True)
+    with open(args.output_csv, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["regime", "clean_acc", "fgsm_acc"])
+        w.writeheader()
+        w.writerows(rows)
+    print("wrote", args.output_csv)
+
+
+if __name__ == "__main__":
+    main()
