@@ -156,3 +156,14 @@ def test_real_digits_end_to_end_learning():
         batch_iterator(test_ds, 128, shuffle=False, drop_last=False),
     )
     assert acc > 0.7, acc
+
+
+def test_profiler_trace_smoke(tmp_path):
+    from neural_ode_metasolver_tpu.training import trace, annotate
+
+    with trace(str(tmp_path)):
+        with annotate("tiny"):
+            jax.block_until_ready(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
+    # a trace directory with at least one file must exist
+    found = [p for p in (tmp_path).rglob("*") if p.is_file()]
+    assert found

@@ -391,3 +391,33 @@ def test_euler_through_model():
     logits, _ = apply_mnist(params, x, solvers, SolverOptions(), cfg=cfg)
     assert logits.shape == (2, 10)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_heterogeneous_switch_through_model():
+    """Switching across different solver families (rk2 vs rk4 with different
+    step counts) under jit — the lax.switch heterogeneous-branch path."""
+    cfg = MnistConfig(dim=16)
+    params = init_mnist(jax.random.key(0), cfg)
+    solvers = [
+        create_solver("rk2", "u", n_steps=2, u0=0.5),
+        create_solver("rk4", "u2", n_steps=1, u0=1 / 3),
+        create_solver("euler", None, n_steps=4),
+    ]
+    x = jax.random.normal(jax.random.key(1), (2, 28, 28, 1), jnp.float32)
+
+    @jax.jit
+    def run(params, x, key):
+        logits, _ = apply_mnist(
+            params, x, solvers,
+            SolverOptions(solver_mode="switch",
+                          switch_probs=[0.4, 0.3, 0.3]),
+            cfg=cfg, key=key,
+        )
+        return logits
+
+    outs = set()
+    for i in range(6):
+        logits = run(params, x, jax.random.key(i))
+        assert np.isfinite(np.asarray(logits)).all()
+        outs.add(round(float(logits[0, 0]), 6))
+    assert len(outs) > 1  # different solvers actually get selected

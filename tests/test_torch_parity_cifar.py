@@ -1,0 +1,115 @@
+"""Golden numerics parity for the flagship CIFAR architecture: full
+premetanode10 forward (conv1 -> act(bn1) -> [PreBasicBlock, ODE block] x2 ->
+pool -> fc, NF norms, GeLU — the exact config of every published CIFAR
+result) against a torch replica with identical weights and reference-exact
+RK2 stepping."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn  # noqa: E402
+import torch.nn.functional as tF  # noqa: E402
+
+from neural_ode_metasolver_tpu.models import apply_cifar, init_cifar, premetanode10  # noqa: E402
+from neural_ode_metasolver_tpu.ops import SolverOptions, create_solver  # noqa: E402
+
+
+class PreBlock(tnn.Module):
+    """PreBasicBlock with NF norms (odenet_cifar10/layers.py:77-81)."""
+
+    def __init__(self, cin, cout, stride):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+        self.conv2 = tnn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+        self.sc = (
+            tnn.Conv2d(cin, cout, 1, stride, bias=False)
+            if (stride != 1 or cin != cout) else None
+        )
+
+    def forward(self, x):
+        out = self.conv1(tF.gelu(x))
+        out = self.conv2(tF.gelu(out))
+        sc = self.sc(x) if self.sc is not None else x
+        return out + sc
+
+
+class RHS(tnn.Module):
+    """PreBasicBlock2 with NF norms (layers.py:148-161): gelu-conv x2."""
+
+    def __init__(self, dim):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(dim, dim, 3, 1, 1, bias=False)
+        self.conv2 = tnn.Conv2d(dim, dim, 3, 1, 1, bias=False)
+
+    def forward(self, x):
+        return self.conv2(tF.gelu(self.conv1(tF.gelu(x))))
+
+
+class TorchPremetanode10(tnn.Module):
+    def __init__(self, planes=16):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, planes, 3, 1, 1, bias=False)
+        self.res1 = PreBlock(planes, planes, 1)
+        self.rhs1 = RHS(planes)
+        self.res2 = PreBlock(planes, 2 * planes, 2)
+        self.rhs2 = RHS(2 * planes)
+        self.fc = tnn.Linear(2 * planes, 10)
+
+    def integrate(self, rhs, x, u, n_steps):
+        b2 = 1.0 / (2 * u)
+        b1 = 1.0 - b2
+        grid = np.linspace(0.0, 1.0, n_steps + 1)
+        y = x
+        for t0, t1 in zip(grid[:-1], grid[1:]):
+            dt = t1 - t0
+            k1 = rhs(y)
+            k2 = rhs(y + k1 * (u * dt))
+            y = y + (k1 * b1 + k2 * b2) * dt
+        return y
+
+    def forward(self, x, u=0.5, n_steps=8):
+        # faithful executed behavior: act(bn1(conv1)) with bn1=NF -> gelu only
+        out = tF.gelu(self.conv1(x))
+        out = self.res1(out)
+        out = self.integrate(self.rhs1, out, u, n_steps)
+        out = self.res2(out)
+        out = self.integrate(self.rhs2, out, u, n_steps)
+        out = out.mean(dim=(2, 3))
+        return self.fc(out)
+
+
+def copy_conv(tconv, jp):
+    tconv.weight.data = torch.tensor(
+        np.asarray(jp["kernel"]).transpose(3, 2, 0, 1)
+    )
+
+
+def test_flagship_cifar_forward_matches_torch():
+    cfg = premetanode10(in_planes=16)
+    params, state = init_cifar(jax.random.key(0), cfg)
+
+    tm = TorchPremetanode10(planes=16)
+    copy_conv(tm.conv1, params["conv1"])
+    l1, l2 = params["layer1"], params["layer2"]
+    copy_conv(tm.res1.conv1, l1["res"][0]["conv1"])
+    copy_conv(tm.res1.conv2, l1["res"][0]["conv2"])
+    copy_conv(tm.rhs1.conv1, l1["ode"][0]["conv1"])
+    copy_conv(tm.rhs1.conv2, l1["ode"][0]["conv2"])
+    copy_conv(tm.res2.conv1, l2["res"][0]["conv1"])
+    copy_conv(tm.res2.conv2, l2["res"][0]["conv2"])
+    copy_conv(tm.res2.sc, l2["res"][0]["sc_conv"])
+    copy_conv(tm.rhs2.conv1, l2["ode"][0]["conv1"])
+    copy_conv(tm.rhs2.conv2, l2["ode"][0]["conv2"])
+    tm.fc.weight.data = torch.tensor(np.asarray(params["fc"]["kernel"]).T)
+    tm.fc.bias.data = torch.tensor(np.asarray(params["fc"]["bias"]))
+
+    x = np.random.RandomState(0).rand(4, 32, 32, 3).astype(np.float32)
+    solver = create_solver("rk2", "u", n_steps=8, u0=0.5)
+    logits, _, _ = apply_cifar(
+        params, state, jnp.asarray(x), [solver], SolverOptions(), cfg=cfg
+    )
+    with torch.no_grad():
+        t_logits = tm(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(np.asarray(logits), t_logits, atol=3e-4)
