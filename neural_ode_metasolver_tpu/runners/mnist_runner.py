@@ -87,6 +87,12 @@ def parse_args(argv=None):
     p.add_argument("--save_dir", type=str, default="./experiment_mnist")
     p.add_argument("--debug", action="store_true")
     p.add_argument("--resume", action="store_true")
+    # trainable solver coefficients (reference legacy lr_uv param group,
+    # runner_old.py:184-185)
+    p.add_argument("--train_solver_params", action="store_true",
+                   help="optimize solver u/v jointly with the network")
+    p.add_argument("--lr_uv", type=float, default=0.01,
+                   help="learning rate for the solver-parameter group")
     p.add_argument("--precision", type=str, default="f32",
                    choices=["f32", "bf16"],
                    help="compute precision (bf16 = mixed precision, the "
@@ -151,8 +157,64 @@ def main(argv=None):
                         weight_decay=args.weight_decay)
 
     config = {"args": vars(args), "solvers": args.solvers, "model": "mnist"}
-    fit(model, solvers, tx, args, logger, train_data, eval_data,
-        test_data_factory=eval_data, config=config)
+    if args.train_solver_params:
+        _fit_with_trainable_solvers(model, solvers, tx, args, logger,
+                                    train_data, eval_data, config)
+    else:
+        fit(model, solvers, tx, args, logger, train_data, eval_data,
+            test_data_factory=eval_data, config=config)
+
+
+def _fit_with_trainable_solvers(model, solvers, tx, args, logger,
+                                train_data, eval_data, config):
+    """Joint (network, solver u/v) optimization loop — the runner_old lr_uv
+    capability, on the modern stack."""
+    import os
+
+    import numpy as np
+
+    from ..training import (
+        AttackConfig,
+        accuracy,
+        create_solver_train_state,
+        make_optimizer,
+        make_solver_train_step,
+        save_checkpoint,
+        solvers_from_state,
+    )
+    from .common import build_solver_options
+
+    solver_tx = make_optimizer("sgd", args.lr_uv)
+    opts = build_solver_options(args)
+    attack_cfg = AttackConfig(
+        mode=args.adv_training_mode, eps=args.eps_adv_training,
+        pgd_lr=args.pgd_lr_training, pgd_niter=args.pgd_niter_training,
+    )
+    step = make_solver_train_step(model, tx, solver_tx, solvers, opts,
+                                  attack_cfg=attack_cfg)
+    key = jax.random.key(args.seed)
+    key, k_init = jax.random.split(key)
+    ts = create_solver_train_state(model, tx, solver_tx, solvers, k_init)
+    for epoch in range(args.nepochs):
+        losses = []
+        for x, y in train_data(epoch):
+            import jax.numpy as jnp
+
+            key, sub = jax.random.split(key)
+            ts, m = step(ts, jnp.asarray(x), jnp.asarray(y), sub)
+            losses.append(float(m["loss"]))
+        cur = solvers_from_state(solvers, ts.solver_params)
+        acc = accuracy(model, ts.params, ts.model_state, cur, opts,
+                       eval_data())
+        us = [f"{float(s.u):.4f}" if s.u is not None else "-" for s in cur]
+        logger.info(
+            f"epoch {epoch} | loss {np.mean(losses):.4f} | acc {acc:.4f} | "
+            f"u = {us}"
+        )
+    if args.save_dir:
+        save_checkpoint(os.path.join(args.save_dir, "solver_trained"), ts,
+                        config)
+    return ts
 
 
 if __name__ == "__main__":

@@ -97,3 +97,21 @@ def test_mnist_runner_bf16_precision(tmp_path):
     ])
     import glob, os
     assert glob.glob(os.path.join(save, "last", "step_*"))
+
+
+def test_mnist_runner_train_solver_params(tmp_path):
+    from neural_ode_metasolver_tpu.runners import mnist_runner
+
+    save = str(tmp_path / "uv_exp")
+    mnist_runner.main([
+        "--solvers", "rk2,u,2,-1,0.4,-1",
+        "--train_solver_params", "--lr_uv", "0.02",
+        "--nepochs", "1",
+        "--batch_size", "16",
+        "--test_batch_size", "16",
+        "--synthetic_train_size", "32",
+        "--synthetic_test_size", "16",
+        "--save_dir", save,
+    ])
+    import glob, os
+    assert glob.glob(os.path.join(save, "solver_trained", "step_*"))

@@ -163,3 +163,31 @@ def test_tableau_grad_flows_to_u():
     b1 = 1 - b2
     expected = 2 * b1 * (-db2) + 2 * b2 * db2 + 2.0
     np.testing.assert_allclose(g, expected, rtol=1e-10)
+
+
+def test_pad_and_stack_tableaus():
+    from neural_ode_metasolver_tpu.ops import pad_tableau, stack_tableaus
+
+    rk2 = rk2_tableau(jnp.float32(0.5))
+    rk4 = rk4_tableau(jnp.float32(1 / 3), parameterization="u2")
+    padded = pad_tableau(rk2, 4)
+    assert padded.stages == 4
+    # padded stages contribute nothing: b zero, w rows zero
+    np.testing.assert_allclose(padded.b[2:], 0.0)
+    np.testing.assert_allclose(padded.w[2:], 0.0)
+    np.testing.assert_allclose(padded.b[:2], rk2.b)
+    with pytest.raises(ValueError):
+        pad_tableau(rk4, 2)
+
+    stacked = stack_tableaus([rk2, rk4])
+    assert stacked.c.shape == (2, 4)
+    np.testing.assert_allclose(stacked.b[1], rk4.b)
+
+    # a padded tableau integrates identically (extra stages are inert)
+    from neural_ode_metasolver_tpu.ops import odeint_final
+
+    y0 = jnp.ones((3,), jnp.float32)
+    rhs = lambda t, y: -0.7 * y
+    y_a = odeint_final(rk2, rhs, y0, 0.0, 1.0, n_steps=4)
+    y_b = odeint_final(padded, rhs, y0, 0.0, 1.0, n_steps=4)
+    np.testing.assert_allclose(np.asarray(y_a), np.asarray(y_b), atol=1e-6)
