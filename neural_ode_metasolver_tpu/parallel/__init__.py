@@ -5,6 +5,7 @@ from .mesh import (
     make_mesh,
     make_parallel_train_step,
     replicated,
+    shard_opt_state_tp,
     shard_params_tp,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "make_mesh",
     "make_parallel_train_step",
     "replicated",
+    "shard_opt_state_tp",
     "shard_params_tp",
 ]

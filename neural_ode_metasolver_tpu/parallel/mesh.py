@@ -30,6 +30,7 @@ __all__ = [
     "batch_sharding",
     "replicated",
     "shard_params_tp",
+    "shard_opt_state_tp",
     "make_parallel_train_step",
 ]
 
@@ -82,19 +83,44 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def _tp_spec_for(path_leaf: jax.Array, axis: str, size: int):
-    """Choose a tensor-parallel PartitionSpec for one param leaf.
+# Param leaf names this package's layers use (models/nn.py): "kernel" for
+# conv/linear weights, "bias"/"scale" for additive/multiplicative 1-D
+# channel params.  TP sharding is keyed on these names — NOT on bare shapes
+# — so unrelated state that merely happens to be divisible never shards.
+_TP_WEIGHT_NAMES = frozenset({"kernel"})
+_TP_CHANNEL_NAMES = frozenset({"bias", "scale"})
+
+
+def _leaf_key_name(path) -> str:
+    """Final component of a tree path as a plain string."""
+    if not path:
+        return ""
+    last = path[-1]
+    if hasattr(last, "key"):
+        return str(last.key)
+    if hasattr(last, "name"):
+        return str(last.name)
+    if hasattr(last, "idx"):
+        return str(last.idx)
+    return str(last)
+
+
+def _tp_spec_for(path, leaf, axis: str, size: int):
+    """Tensor-parallel PartitionSpec for one *named* param leaf.
 
     Conv kernels (H, W, I, O) and linear kernels (I, O) shard the output
-    dim when divisible; 1-D params (bias/scale) shard their only dim when
-    divisible.  Everything else replicates.
+    dim; 1-D channel params (bias/scale) shard their only dim — each only
+    when the leaf's tree-path name marks it a param of that kind AND the
+    dim is divisible.  Everything else replicates.
     """
-    shp = path_leaf.shape
-    if len(shp) == 4 and shp[3] % size == 0:
-        return P(None, None, None, axis)
-    if len(shp) == 2 and shp[1] % size == 0:
-        return P(None, axis)
-    if len(shp) == 1 and shp[0] % size == 0:
+    name = _leaf_key_name(path)
+    shp = getattr(leaf, "shape", ())
+    if name in _TP_WEIGHT_NAMES:
+        if len(shp) == 4 and shp[3] % size == 0:
+            return P(None, None, None, axis)
+        if len(shp) == 2 and shp[1] % size == 0:
+            return P(None, axis)
+    if name in _TP_CHANNEL_NAMES and len(shp) == 1 and shp[0] % size == 0:
         return P(axis)
     return P()
 
@@ -102,14 +128,41 @@ def _tp_spec_for(path_leaf: jax.Array, axis: str, size: int):
 def shard_params_tp(params, mesh: Mesh, axis: str = "model"):
     """NamedSharding tree for tensor-parallel params over ``axis``.
 
-    Returns a pytree of shardings matching ``params``; leaves that can't be
-    evenly split are replicated.  Use with
-    ``jax.device_put(params, shardings)`` or as jit in_shardings.
+    Returns a pytree of shardings matching ``params``; leaves whose
+    tree-path name isn't a recognized param kind, or that can't be evenly
+    split, are replicated.  Use with ``jax.device_put(params, shardings)``
+    or as jit in_shardings.
     """
     size = mesh.shape[axis]
-    return jax.tree_util.tree_map(
-        lambda leaf: NamedSharding(mesh, _tp_spec_for(leaf, axis, size)),
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(
+            mesh, _tp_spec_for(path, leaf, axis, size)
+        ),
         params,
+    )
+
+
+def shard_opt_state_tp(opt_state, params, mesh: Mesh, axis: str = "model"):
+    """NamedSharding tree for optimizer state under tensor parallelism.
+
+    Optimizer state mixes param-mirroring trees (momentum/``trace``, RMS
+    ``nu``, MultiSteps ``acc_grads`` — each structurally identical to
+    ``params``) with bookkeeping leaves (step counts, schedule state).
+    Mirrors inherit the param shardings by *structure matching*; every
+    other leaf replicates — no shape sniffing, so a bookkeeping vector
+    that happens to be divisible is never silently sharded.
+    """
+    param_sh = shard_params_tp(params, mesh, axis)
+    param_struct = jax.tree_util.tree_structure(params)
+    repl = NamedSharding(mesh, P())
+
+    def is_mirror(node):
+        return jax.tree_util.tree_structure(node) == param_struct
+
+    return jax.tree_util.tree_map(
+        lambda node: param_sh if is_mirror(node) else repl,
+        opt_state,
+        is_leaf=is_mirror,
     )
 
 
@@ -130,24 +183,17 @@ def make_parallel_train_step(
     """
     if model_axis is not None:
         param_sh = shard_params_tp(ts_template.params, mesh, model_axis)
-
-        def state_shardings(ts):
-            def opt_leaf(leaf):
-                # opt-state leaves mirroring param shapes shard identically
-                return NamedSharding(
-                    mesh, _tp_spec_for(leaf, model_axis, mesh.shape[model_axis])
-                ) if hasattr(leaf, "shape") else NamedSharding(mesh, P())
-
-            return ts.replace(
-                step=NamedSharding(mesh, P()),
-                params=param_sh,
-                model_state=jax.tree_util.tree_map(
-                    lambda _: NamedSharding(mesh, P()), ts.model_state
-                ),
-                opt_state=jax.tree_util.tree_map(opt_leaf, ts.opt_state),
-            )
-
-        ts_sh = state_shardings(ts_template)
+        opt_sh = shard_opt_state_tp(
+            ts_template.opt_state, ts_template.params, mesh, model_axis
+        )
+        ts_sh = ts_template.replace(
+            step=NamedSharding(mesh, P()),
+            params=param_sh,
+            model_state=jax.tree_util.tree_map(
+                lambda _: NamedSharding(mesh, P()), ts_template.model_state
+            ),
+            opt_state=opt_sh,
+        )
     else:
         ts_sh = jax.tree_util.tree_map(
             lambda _: replicated(mesh), ts_template

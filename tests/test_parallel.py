@@ -118,6 +118,102 @@ def test_shard_params_tp_specs():
                                                       "model")
 
 
+def _assert_tp_step_matches(optimizer_name, atol=5e-5, rtol=5e-4,
+                            **opt_kwargs):
+    """Run one tp-sharded step vs the unsharded step with the given
+    optimizer; loss and params must agree."""
+    model = build_model("premetanode10", in_planes=16)
+    tx = make_optimizer(optimizer_name, 0.05, **opt_kwargs)
+    ts = create_train_state(model, tx, jax.random.key(0))
+    raw = make_train_step(model, tx, SOLVERS, OPTS, jit_compile=False,
+                          donate=False)
+    x = jax.random.normal(jax.random.key(1), (8, 16, 16, 3), jnp.float32)
+    y = jnp.zeros((8,), jnp.int32)
+    key = jax.random.key(2)
+
+    ts_ref, m_ref = jax.jit(raw)(ts, x, y, key)
+    mesh = make_mesh({"data": 4, "model": 2})
+    pstep = make_parallel_train_step(raw, mesh, ts, data_axis="data",
+                                     model_axis="model")
+    ts_tp, m_tp = pstep(ts, x, y, key)
+    np.testing.assert_allclose(
+        float(m_ref["loss"]), float(m_tp["loss"]), rtol=5e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ts_ref.params),
+        jax.tree_util.tree_leaves(ts_tp.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=atol, rtol=rtol
+        )
+    return ts_tp
+
+
+def test_tp_with_rmsprop():
+    """tp sharding must survive rmsprop's non-trace opt state (nu tree +
+    schedule/bookkeeping leaves).  First-step rmsprop updates are
+    g/sqrt(decay*g^2), which amplifies sharded-reduction rounding — hence
+    the looser tolerance."""
+    _assert_tp_step_matches("rmsprop", atol=2e-2, rtol=5e-4)
+
+
+def test_tp_with_multisteps():
+    """tp sharding must survive MultiSteps wrapping: its mini_step /
+    gradient_step counters are bookkeeping (must replicate), while
+    acc_grads mirrors params (must shard like them)."""
+    ts_tp = _assert_tp_step_matches("sgd", momentum=0.9, every_k=2)
+    # after one accumulation-only step the params are unchanged — the point
+    # is that the sharded step ran; also check counters stayed scalars
+    import optax
+
+    opt_state = ts_tp.opt_state
+    ms = opt_state if isinstance(opt_state, optax.MultiStepsState) else None
+    if ms is not None:
+        assert ms.mini_step.shape == ()
+
+
+def test_shard_opt_state_tp_structure_matching():
+    """Param-mirroring opt-state trees inherit the param shardings; a
+    bookkeeping leaf that merely *happens* to be divisible must replicate
+    (regression: the old shape-sniffing heuristic sharded it)."""
+    from neural_ode_metasolver_tpu.parallel import shard_opt_state_tp
+
+    model = build_model("premetanode10", in_planes=16)
+    params, _ = model.init(jax.random.key(0))
+    mesh = make_mesh({"data": 4, "model": 2})
+
+    # momentum mirror: same structure as params -> shard like params
+    mirror = jax.tree_util.tree_map(jnp.zeros_like, params)
+    # bookkeeping: a 1-D float vector of divisible length — NOT a param
+    history = jnp.zeros((8,), jnp.float32)
+    fake_state = (mirror, {"loss_history": history, "count": jnp.zeros((), jnp.int32)})
+
+    sh = shard_opt_state_tp(fake_state, params, mesh, "model")
+    mirror_sh, book_sh = sh
+
+    conv_spec = mirror_sh["conv1"]["kernel"].spec
+    assert conv_spec == jax.sharding.PartitionSpec(None, None, None, "model")
+    assert book_sh["loss_history"].spec == jax.sharding.PartitionSpec()
+    assert book_sh["count"].spec == jax.sharding.PartitionSpec()
+
+
+def test_shard_params_tp_ignores_unnamed_divisible_leaves():
+    """A 2-D leaf not named 'kernel' (e.g. a stats buffer) replicates even
+    when its last dim divides the axis (regression vs shape sniffing)."""
+    mesh = make_mesh({"data": 4, "model": 2})
+    tree = {
+        "block": {"kernel": jnp.zeros((3, 3, 4, 8)), "bias": jnp.zeros((8,))},
+        "buffer": jnp.zeros((4, 8)),
+        "running_var": jnp.zeros((8,)),
+    }
+    sh = shard_params_tp(tree, mesh, "model")
+    P = jax.sharding.PartitionSpec
+    assert sh["block"]["kernel"].spec == P(None, None, None, "model")
+    assert sh["block"]["bias"].spec == P("model")
+    assert sh["buffer"].spec == P()
+    assert sh["running_var"].spec == P()
+
+
 def test_ensemble_integrate_matches_loop():
     rhs = lambda t, y: -0.7 * y + 0.1 * jnp.sin(t)
     y0 = jax.random.normal(jax.random.key(0), (4, 8), jnp.float32)
