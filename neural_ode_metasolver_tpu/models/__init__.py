@@ -1,6 +1,7 @@
 """Model zoo: MNIST MetaNODE and the CIFAR-10 metanode/premetanode family."""
 from . import nn
 from .odenet_mnist import MnistConfig, apply_mnist, init_mnist
+from .torch_import import mnist_params_from_torch_state_dict
 from .odenet_cifar10 import (
     CifarConfig,
     MODEL_REGISTRY,
@@ -23,6 +24,7 @@ __all__ = [
     "MnistConfig",
     "apply_mnist",
     "init_mnist",
+    "mnist_params_from_torch_state_dict",
     "CifarConfig",
     "MODEL_REGISTRY",
     "apply_cifar",

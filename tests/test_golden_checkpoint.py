@@ -1,0 +1,156 @@
+"""Golden trained-artifact parity against the reference's REAL checkpoint.
+
+The reference ships a trained MNIST MetaNODE
+(``examples/mnist/checkpoints/checkpoint_15444.pth``, a pickled
+``sopa...MetaNODE`` module).  These tests load those trained weights into
+the JAX model via ``mnist_params_from_torch_state_dict`` and drive the
+ACTUAL reference model (unpickled, with the reference's own solver
+classes) side by side:
+
+  * forward logits match to <= 1e-4 on random inputs, for RK2 and Euler;
+  * a full PGD(eps=0.3, lr=2/255, 7 iters, no random start) attack
+    produces matching adversarial inputs (modulo isolated sign flips of
+    near-zero gradients) and IDENTICAL robust predictions.
+
+This is the strongest accuracy-parity evidence obtainable offline: the
+whole trained-artifact path (torch pickle -> conversion -> JAX forward ->
+attack) is validated end to end.
+"""
+import os
+import sys
+from decimal import Decimal
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from neural_ode_metasolver_tpu.attacks.attacks import pgd  # noqa: E402
+from neural_ode_metasolver_tpu.models import (  # noqa: E402
+    MnistConfig,
+    apply_mnist,
+    mnist_params_from_torch_state_dict,
+)
+from neural_ode_metasolver_tpu.ops import SolverOptions, create_solver  # noqa: E402
+
+REFERENCE_ROOT = "/root/reference"
+CKPT = os.path.join(
+    REFERENCE_ROOT, "examples/mnist/checkpoints/checkpoint_15444.pth"
+)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(CKPT), reason="reference checkpoint not available"
+)
+
+
+class _RefOpts:
+    solver_mode = "standalone"
+    switch_probs = None
+
+
+@pytest.fixture(scope="module")
+def golden():
+    """(torch reference model, its state_dict-derived JAX params)."""
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    tm = torch.load(CKPT, map_location="cpu", weights_only=False)
+    tm.eval()
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = mnist_params_from_torch_state_dict(sd)
+    return tm, params
+
+
+def _ref_solver(method, n_steps, u0):
+    from sopa.src.solvers.utils import create_solver as ref_create_solver
+
+    s = ref_create_solver(
+        method, "u", n_steps=n_steps, step_size=-1,
+        u0=Decimal(str(u0)), v0=Decimal("-1"),
+        dtype=torch.float32, device="cpu",
+    )
+    s.freeze_params()
+    return s
+
+
+def _inputs(n=16):
+    x = np.random.RandomState(0).rand(n, 28, 28, 1).astype(np.float32)
+    y = np.random.RandomState(1).randint(0, 10, size=n)
+    return x, y
+
+
+@pytest.mark.parametrize(
+    "method,n_steps,u0", [("rk2", 8, 0.5), ("euler", 4, 0.5)]
+)
+def test_golden_forward_parity(golden, method, n_steps, u0):
+    tm, params = golden
+    x, _ = _inputs()
+    solver = create_solver(method, "u", n_steps=n_steps, u0=u0)
+    logits, _ = apply_mnist(
+        params, jnp.asarray(x), [solver], SolverOptions(), cfg=MnistConfig()
+    )
+    rs = _ref_solver(method, n_steps, u0)
+    with torch.no_grad():
+        t_logits = tm(
+            torch.tensor(x.transpose(0, 3, 1, 2)),
+            solvers=[rs], solver_options=_RefOpts(),
+        ).numpy()
+    np.testing.assert_allclose(np.asarray(logits), t_logits, atol=1e-4)
+
+
+def test_golden_pgd_attack_parity(golden):
+    """Full PGD(0.3, 2/255, 7) on the trained weights: the reference PGD
+    loop (MegaAdversarial/src/attacks/pgd.py:23-57, mean=0/std=1 so the
+    Normalize round-trip is identity, randomized_start=False) vs this
+    package's ``pgd``.  Adversarial inputs must agree except where a
+    near-zero gradient's sign flips between frameworks, and the robust
+    predictions must be identical."""
+    tm, params = golden
+    x, y = _inputs()
+    eps, lr, n_iter = 0.3, 2 / 255, 7
+    solver = create_solver("rk2", "u", n_steps=8, u0=0.5)
+    rs = _ref_solver("rk2", 8, 0.5)
+    opts = SolverOptions()
+
+    def fwd(xa):
+        logits, _ = apply_mnist(params, xa, [solver], opts, cfg=MnistConfig())
+        return logits
+
+    x_adv_j, _ = pgd(
+        fwd, None, jnp.asarray(x), jnp.asarray(y),
+        eps=eps, lr=lr, n_iter=n_iter, randomized_start=False,
+        mean=None, std=None,
+    )
+
+    loss_fn = torch.nn.CrossEntropyLoss()
+    xt = torch.tensor(x.transpose(0, 3, 1, 2))
+    yt = torch.tensor(y)
+    xa = xt.clone().detach()
+    for _ in range(n_iter):
+        xa.requires_grad_(True)
+        loss = loss_fn(tm(xa, solvers=[rs], solver_options=_RefOpts()), yt)
+        g = torch.autograd.grad([loss], [xa])[0]
+        xa = torch.max(torch.min(xa + lr * g.sign(), xt + eps), xt - eps)
+        xa = torch.clamp(xa, 0.0, 1.0).detach()
+    x_adv_t = xa.numpy().transpose(0, 2, 3, 1)
+
+    diff = np.abs(np.asarray(x_adv_j) - x_adv_t)
+    # isolated near-zero-gradient sign flips move a pixel by <= 2*lr*n_iter;
+    # anything beyond that is a real divergence
+    assert diff.max() <= 2 * lr * n_iter + 1e-6
+    assert (diff > 1e-4).mean() < 0.01, "too many diverging pixels"
+
+    with torch.no_grad():
+        t_clean = tm(
+            xt, solvers=[rs], solver_options=_RefOpts()
+        ).argmax(-1).numpy()
+        t_robust = tm(
+            torch.tensor(x_adv_t.transpose(0, 3, 1, 2)),
+            solvers=[rs], solver_options=_RefOpts(),
+        ).argmax(-1).numpy()
+    j_robust = np.asarray(jnp.argmax(fwd(jnp.asarray(x_adv_j)), -1))
+
+    assert (t_robust == j_robust).all(), "robust predictions diverge"
+    assert (t_clean != t_robust).any(), "attack had no effect — not a PGD"
