@@ -126,6 +126,10 @@ def parse_args(argv=None):
     p.add_argument("--save_dir", type=str, default="./experiment_cifar")
     p.add_argument("--debug", action="store_true")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--skip_nonfinite", action="store_true",
+                   help="skip (not apply) updates with non-finite loss/grads; logs skipped_nonfinite metric")
+    p.add_argument("--unroll", type=int, default=1,
+                   help="ODE scan unroll factor (8 = fully unroll the flagship 8-step solve; ~+10%% bf16 / +40%% f32 on v5e)")
     p.add_argument("--precision", type=str, default="f32",
                    choices=["f32", "bf16"],
                    help="compute precision (bf16 = mixed precision, the "

@@ -189,6 +189,7 @@ def fit(
         model, tx, solvers, solver_options, attack_cfg, noise_cfg, loss_cfg,
         compute_dtype=compute_dtype,
         skip_nonfinite=getattr(args, "skip_nonfinite", False),
+        unroll=getattr(args, "unroll", 1),
     )
     config = dict(config or {})
     save_dir = getattr(args, "save_dir", None)
@@ -205,21 +206,25 @@ def fit(
     mlog = MetricsLogger(save_dir or ".", config=config) if save_dir else None
     for epoch in range(getattr(args, "nepochs", 1)):
         losses = []
+        skipped = 0.0
         for x, y in train_data_factory(epoch):
             key, sub = jax.random.split(key)
             t0 = time.perf_counter()
             ts, m = step(ts, jnp.asarray(x), jnp.asarray(y), sub)
             losses.append(float(m["loss"]))
+            skipped += float(m.get("skipped_nonfinite", 0.0))
             batch_meter.update(time.perf_counter() - t0)
         logger.info(
             f"epoch {epoch} | train loss {np.mean(losses):.4f} | "
             f"batch time {batch_meter.avg:.3f}s"
+            + (f" | skipped_nonfinite {skipped:.0f}" if skipped else "")
         )
         if mlog:
             mlog.log(
                 {"epoch": epoch, "train_loss": float(np.mean(losses)),
                  "batch_time": batch_meter.avg, **{
-                     k: float(v) for k, v in m.items()}},
+                     k: float(v) for k, v in m.items()},
+                 "epoch_skipped_nonfinite": skipped},
                 step=int(ts.step),
             )
         key, k_val = jax.random.split(key)

@@ -93,6 +93,10 @@ def parse_args(argv=None):
                    help="optimize solver u/v jointly with the network")
     p.add_argument("--lr_uv", type=float, default=0.01,
                    help="learning rate for the solver-parameter group")
+    p.add_argument("--skip_nonfinite", action="store_true",
+                   help="skip (not apply) updates with non-finite loss/grads; logs skipped_nonfinite metric")
+    p.add_argument("--unroll", type=int, default=1,
+                   help="ODE scan unroll factor (8 = fully unroll the flagship 8-step solve; ~+10%% bf16 / +40%% f32 on v5e)")
     p.add_argument("--precision", type=str, default="f32",
                    choices=["f32", "bf16"],
                    help="compute precision (bf16 = mixed precision, the "
