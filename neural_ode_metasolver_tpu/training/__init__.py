@@ -7,6 +7,7 @@ from .solver_training import (
     solvers_from_state,
 )
 from .logging import MetricsLogger
+from .accuracy_tables import load_accuracy_table, save_accuracy_table
 from .profiling import annotate, trace
 from .checkpoint import latest_step, restore_checkpoint, save_checkpoint
 from .evaluate import (
@@ -35,6 +36,8 @@ __all__ = [
     "make_solver_train_step",
     "solvers_from_state",
     "MetricsLogger",
+    "load_accuracy_table",
+    "save_accuracy_table",
     "annotate",
     "trace",
     "latest_step",

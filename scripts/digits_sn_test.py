@@ -76,7 +76,13 @@ def main():
         for n, a in zip(args.steps_grid, accs):
             print(f"n_steps={n:3d} clean_acc={a:.4f}", flush=True)
             w.writerow([n, a])
-    print("wrote", args.output_csv)
+    # also emit the reference's pickle schema (its Evaluate-notebook format,
+    # examples/cifar10/checkpoints/accuracy/*.pkl)
+    from neural_ode_metasolver_tpu.training import save_accuracy_table
+
+    pkl_path = os.path.splitext(args.output_csv)[0] + ".pkl"
+    save_accuracy_table(pkl_path, [accs], args.steps_grid)
+    print("wrote", args.output_csv, "and", pkl_path)
 
 
 if __name__ == "__main__":
