@@ -173,13 +173,18 @@ def make_parallel_train_step(
     *,
     data_axis: str = "data",
     model_axis: Optional[str] = None,
+    spatial_axis: Optional[str] = None,
 ):
     """Wrap a ``step(ts, x, y, key) -> (ts, metrics)`` into a mesh-sharded jit.
 
     Batch is sharded over ``data_axis``; the TrainState params/opt-state are
-    tensor-parallel over ``model_axis`` when given (else replicated).  The
-    returned callable also returns sharded outputs so successive steps stay
-    resident with no host round-trips.
+    tensor-parallel over ``model_axis`` when given (else replicated); with
+    ``spatial_axis``, the input's HEIGHT dim is additionally sharded — GSPMD
+    partitions every conv spatially and inserts the halo exchanges for the
+    3x3 windows itself (the TPU-native "sp" axis; useful when the per-device
+    batch is already 1 and activations still don't fit).  The returned
+    callable also returns sharded outputs so successive steps stay resident
+    with no host round-trips.
     """
     if model_axis is not None:
         param_sh = shard_params_tp(ts_template.params, mesh, model_axis)
@@ -199,7 +204,10 @@ def make_parallel_train_step(
             lambda _: replicated(mesh), ts_template
         )
 
-    x_sh = batch_sharding(mesh, data_axis)
+    if spatial_axis is not None:
+        x_sh = NamedSharding(mesh, P(data_axis, spatial_axis))
+    else:
+        x_sh = batch_sharding(mesh, data_axis)
     y_sh = batch_sharding(mesh, data_axis)
     key_sh = replicated(mesh)
 

@@ -107,6 +107,36 @@ def test_tp_sharded_step_runs_and_matches():
     np.testing.assert_allclose(k_ref, k_tp, atol=5e-5, rtol=5e-4)
 
 
+def test_sp_spatial_sharding_matches_single_device():
+    """dp x sp: the input's height dim sharded over 'sp' — GSPMD must
+    insert conv halo exchanges and reproduce the unsharded numerics."""
+    model = build_model("premetanode10", in_planes=16)
+    tx = make_optimizer("sgd", 0.05, momentum=0.9)
+    ts = create_train_state(model, tx, jax.random.key(0))
+    raw = make_train_step(model, tx, SOLVERS, OPTS, jit_compile=False,
+                          donate=False)
+    x = jax.random.normal(jax.random.key(1), (8, 16, 16, 3), jnp.float32)
+    y = jnp.zeros((8,), jnp.int32)
+    key = jax.random.key(2)
+
+    ts_ref, m_ref = jax.jit(raw)(ts, x, y, key)
+
+    mesh = make_mesh({"data": 4, "sp": 2})
+    pstep = make_parallel_train_step(raw, mesh, ts, data_axis="data",
+                                     spatial_axis="sp")
+    ts_sp, m_sp = pstep(ts, x, y, key)
+    np.testing.assert_allclose(
+        float(m_ref["loss"]), float(m_sp["loss"]), rtol=5e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ts_ref.params),
+        jax.tree_util.tree_leaves(ts_sp.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-4
+        )
+
+
 def test_shard_params_tp_specs():
     model = build_model("premetanode10", in_planes=16)
     params, _ = model.init(jax.random.key(0))
