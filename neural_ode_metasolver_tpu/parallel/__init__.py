@@ -1,5 +1,6 @@
 """Parallelism: device mesh, dp/tp shardings, ensemble parallelism."""
 from .ensemble import ensemble_integrate, stack_solver_params
+from .pipeline import pipeline_apply, stack_stage_params
 from .mesh import (
     batch_sharding,
     make_mesh,
@@ -11,6 +12,8 @@ from .mesh import (
 
 __all__ = [
     "ensemble_integrate",
+    "pipeline_apply",
+    "stack_stage_params",
     "stack_solver_params",
     "batch_sharding",
     "make_mesh",

@@ -299,3 +299,59 @@ def test_graft_entry_single_and_multichip():
     logits = jax.jit(fn)(params, x)
     assert logits.shape == (8, 10)
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_pipeline_apply_matches_sequential():
+    """GPipe over 4 stacked ODE blocks on the pp axis == the sequential
+    composition (same weights, same input)."""
+    from neural_ode_metasolver_tpu.models import nn as fnn
+    from neural_ode_metasolver_tpu.parallel import (
+        pipeline_apply,
+        stack_stage_params,
+    )
+
+    S, M = 4, 8
+    mesh = make_mesh({"pp": S, "data": 2})
+    solver = create_solver("rk2", "u", n_steps=2, u0=0.5)
+
+    keys = jax.random.split(jax.random.key(0), S)
+    stage_params = [
+        {
+            "c1": fnn.conv2d_init(jax.random.fold_in(k, 1), 8, 8, 3),
+            "c2": fnn.conv2d_init(jax.random.fold_in(k, 2), 8, 8, 3),
+        }
+        for k in keys
+    ]
+
+    def block(params, xb):
+        def rhs(t, yv):
+            h = jax.nn.gelu(fnn.conv2d(params["c1"], yv, padding=1))
+            return fnn.conv2d(params["c2"], h, padding=1)
+
+        return solver.integrate_final(rhs, xb)
+
+    x = jax.random.normal(jax.random.key(1), (16, 8, 8, 8), jnp.float32)
+
+    y_seq = x
+    for p in stage_params:
+        y_seq = block(p, y_seq)
+
+    stacked = stack_stage_params(stage_params)
+    y_pp = pipeline_apply(block, stacked, x, mesh, axis="pp",
+                          n_microbatches=M)
+    np.testing.assert_allclose(np.asarray(y_pp), np.asarray(y_seq),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_pipeline_apply_validates():
+    from neural_ode_metasolver_tpu.parallel import pipeline_apply
+
+    mesh = make_mesh({"pp": 4, "data": 2})
+    bad = {"w": jnp.zeros((3, 2))}  # leading dim 3 != 4 stages
+    with pytest.raises(ValueError):
+        pipeline_apply(lambda p, x: x, bad, jnp.zeros((8, 2)), mesh,
+                       axis="pp", n_microbatches=4)
+    good = {"w": jnp.zeros((4, 2))}
+    with pytest.raises(ValueError):
+        pipeline_apply(lambda p, x: x, good, jnp.zeros((7, 2)), mesh,
+                       axis="pp", n_microbatches=4)  # 7 % 4 != 0
