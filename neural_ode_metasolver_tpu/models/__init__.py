@@ -1,7 +1,10 @@
 """Model zoo: MNIST MetaNODE and the CIFAR-10 metanode/premetanode family."""
 from . import nn
 from .odenet_mnist import MnistConfig, apply_mnist, init_mnist
-from .torch_import import mnist_params_from_torch_state_dict
+from .torch_import import (
+    cifar_params_from_torch_state_dict,
+    mnist_params_from_torch_state_dict,
+)
 from .odenet_cifar10 import (
     CifarConfig,
     MODEL_REGISTRY,
@@ -24,6 +27,7 @@ __all__ = [
     "MnistConfig",
     "apply_mnist",
     "init_mnist",
+    "cifar_params_from_torch_state_dict",
     "mnist_params_from_torch_state_dict",
     "CifarConfig",
     "MODEL_REGISTRY",

@@ -24,7 +24,10 @@ import numpy as np
 
 import jax.numpy as jnp
 
-__all__ = ["mnist_params_from_torch_state_dict"]
+__all__ = [
+    "mnist_params_from_torch_state_dict",
+    "cifar_params_from_torch_state_dict",
+]
 
 
 def _arr(sd: Mapping[str, Any], name: str) -> np.ndarray:
@@ -55,6 +58,80 @@ def _linear(sd, prefix):
     out = {"kernel": jnp.asarray(_arr(sd, prefix + ".weight").T)}
     if prefix + ".bias" in sd:
         out["bias"] = jnp.asarray(_arr(sd, prefix + ".bias"))
+    return out
+
+
+def cifar_params_from_torch_state_dict(sd: Mapping[str, Any]):
+    """Convert a reference CIFAR (pre)MetaNODE state_dict into
+    ``init_cifar``'s param-tree layout (odenet_cifar10/layers.py:380-530).
+
+    Covers the norm-free flagship family (NF/PNF configs — bias-free convs
+    everywhere, one final linear).  Name map:
+
+      ``conv1.weight``                              -> ``conv1.kernel``
+      ``layerL.blocks_res.i.conv{1,2}.weight``      -> ``layerL.res[i].conv{1,2}.kernel``
+      ``layerL.blocks_res.i.shortcut.0.weight``     -> ``layerL.res[i].sc_conv.kernel``
+      ``layerL.blocks_ode.i.rhs_func.conv{1,2}.weight`` -> ``layerL.ode[i].conv{1,2}.kernel``
+      ``fc_layers.K.{weight,bias}``                 -> ``fc.{kernel,bias}``
+
+    Norm-bearing checkpoints (BN/GN weights present) raise with the
+    offending keys — their running statistics belong in model_state and
+    need a config-aware import.
+    """
+    import re
+
+    out: dict = {}
+    unknown = []
+    for name, v in sd.items():
+        arr = np.asarray(v, dtype=np.float32)
+        if name == "conv1.weight":
+            out.setdefault("conv1", {})["kernel"] = jnp.asarray(
+                arr.transpose(2, 3, 1, 0)
+            )
+            continue
+        m = re.fullmatch(
+            r"layer(\d+)\.blocks_(res|ode)\.(\d+)\."
+            r"(?:rhs_func\.)?conv([12])\.weight",
+            name,
+        )
+        if m:
+            layer, kind, idx, ci = m.groups()
+            blocks = out.setdefault(f"layer{layer}", {}).setdefault(kind, {})
+            blocks.setdefault(int(idx), {})[f"conv{ci}"] = {
+                "kernel": jnp.asarray(arr.transpose(2, 3, 1, 0))
+            }
+            continue
+        m = re.fullmatch(
+            r"layer(\d+)\.blocks_res\.(\d+)\.shortcut\.0\.weight", name
+        )
+        if m:
+            layer, idx = m.groups()
+            blocks = out.setdefault(f"layer{layer}", {}).setdefault("res", {})
+            blocks.setdefault(int(idx), {})["sc_conv"] = {
+                "kernel": jnp.asarray(arr.transpose(2, 3, 1, 0))
+            }
+            continue
+        m = re.fullmatch(r"fc_layers\.\d+\.(weight|bias)", name)
+        if m:
+            fc = out.setdefault("fc", {})
+            if m.group(1) == "weight":
+                fc["kernel"] = jnp.asarray(arr.T)
+            else:
+                fc["bias"] = jnp.asarray(arr)
+            continue
+        unknown.append(name)
+    if unknown:
+        raise ValueError(
+            "unsupported state_dict entries (norm-bearing checkpoints need "
+            f"a config-aware import): {unknown}"
+        )
+    # index dicts -> lists, matching init_cifar's block lists
+    for lname, layer in out.items():
+        if not lname.startswith("layer"):
+            continue
+        for kind in list(layer):
+            blocks = layer[kind]
+            layer[kind] = [blocks[i] for i in sorted(blocks)]
     return out
 
 
