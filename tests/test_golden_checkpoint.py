@@ -63,11 +63,11 @@ def golden():
     return tm, params
 
 
-def _ref_solver(method, n_steps, u0):
+def _ref_solver(method, n_steps, u0, parameterization="u"):
     from sopa.src.solvers.utils import create_solver as ref_create_solver
 
     s = ref_create_solver(
-        method, "u", n_steps=n_steps, step_size=-1,
+        method, parameterization, n_steps=n_steps, step_size=-1,
         u0=Decimal(str(u0)), v0=Decimal("-1"),
         dtype=torch.float32, device="cpu",
     )
@@ -82,16 +82,23 @@ def _inputs(n=16):
 
 
 @pytest.mark.parametrize(
-    "method,n_steps,u0", [("rk2", 8, 0.5), ("euler", 4, 0.5)]
+    "method,param,n_steps,u0",
+    [
+        ("rk2", "u", 8, 0.5),
+        ("euler", "u", 4, 0.5),
+        # the solver the reference's own MNIST eval notebook pairs with
+        # this checkpoint (examples/mnist/Evaluate the model.ipynb)
+        ("rk4", "u3", 8, 1 / 3),
+    ],
 )
-def test_golden_forward_parity(golden, method, n_steps, u0):
+def test_golden_forward_parity(golden, method, param, n_steps, u0):
     tm, params = golden
     x, _ = _inputs()
-    solver = create_solver(method, "u", n_steps=n_steps, u0=u0)
+    solver = create_solver(method, param, n_steps=n_steps, u0=u0)
     logits, _ = apply_mnist(
         params, jnp.asarray(x), [solver], SolverOptions(), cfg=MnistConfig()
     )
-    rs = _ref_solver(method, n_steps, u0)
+    rs = _ref_solver(method, n_steps, u0, param)
     with torch.no_grad():
         t_logits = tm(
             torch.tensor(x.transpose(0, 3, 1, 2)),
