@@ -114,10 +114,13 @@ def cifar_params_from_torch_state_dict(sd: Mapping[str, Any]):
         m = re.fullmatch(r"fc_layers\.\d+\.(weight|bias)", name)
         if m:
             fc = out.setdefault("fc", {})
-            if m.group(1) == "weight":
-                fc["kernel"] = jnp.asarray(arr.T)
-            else:
-                fc["bias"] = jnp.asarray(arr)
+            slot = "kernel" if m.group(1) == "weight" else "bias"
+            if slot in fc:
+                raise ValueError(
+                    f"multiple linear layers in fc_layers ({name} would "
+                    "overwrite an earlier one) — unsupported head layout"
+                )
+            fc[slot] = jnp.asarray(arr.T if slot == "kernel" else arr)
             continue
         unknown.append(name)
     if unknown:
@@ -142,8 +145,25 @@ def mnist_params_from_torch_state_dict(sd: Mapping[str, Any]):
     Expected names: ``downsampling_layers.{0,3,6}`` convs with norms at
     ``{1,4}``, one ``blocks.0.rhs_func`` ODEfunc (norm1/conv1/norm2/conv2/
     norm3 with ConcatConv2d ``._layer`` nesting), and a
-    ``fc_layers.{0,4}`` head (norm + linear).
+    ``fc_layers.{0,4}`` head (norm + linear).  Any OTHER entry (extra ODE
+    blocks, res-downsampling variants) raises rather than being silently
+    dropped.
     """
+    expected = set()
+    for prefix in ("downsampling_layers.0", "downsampling_layers.3",
+                   "downsampling_layers.6", "blocks.0.rhs_func.conv1._layer",
+                   "blocks.0.rhs_func.conv2._layer", "fc_layers.4"):
+        expected.update({prefix + ".weight", prefix + ".bias"})
+    for prefix in ("downsampling_layers.1", "downsampling_layers.4",
+                   "blocks.0.rhs_func.norm1", "blocks.0.rhs_func.norm2",
+                   "blocks.0.rhs_func.norm3", "fc_layers.0"):
+        expected.update({prefix + ".weight", prefix + ".bias"})
+    extra = sorted(set(sd) - expected)
+    if extra:
+        raise ValueError(
+            "state_dict has entries this importer does not map (a different "
+            f"MetaNODE variant?): {extra}"
+        )
     return {
         "down": {
             "conv0": _conv(sd, "downsampling_layers.0"),

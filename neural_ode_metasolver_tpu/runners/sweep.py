@@ -110,15 +110,26 @@ def expand_grid(config: Dict[str, Any]) -> List[Dict[str, Any]]:
 
 
 def _apply_overrides(
-    base_argv: List[str], combo: Dict[str, Any], run_dir: str
+    base_argv: List[str], combo: Dict[str, Any], run_dir: str,
+    runner: str = "cifar",
 ) -> List[str]:
     """Base runner argv + one grid point's overrides."""
     argv = list(base_argv)
 
     def set_flag(flag: str, value: Any):
+        if isinstance(value, bool):
+            # store_true flags take no operand: present iff True
+            if value and flag not in argv:
+                argv.append(flag)
+            elif not value and flag in argv:
+                argv.remove(flag)
+            return
         if flag in argv:
             i = argv.index(flag)
-            argv[i + 1] = str(value)
+            if i + 1 < len(argv):
+                argv[i + 1] = str(value)
+            else:
+                argv.append(str(value))
         else:
             argv.extend([flag, str(value)])
 
@@ -133,11 +144,14 @@ def _apply_overrides(
 
     if any(combo.get(k) is not None for k in _LR_KEYS):
         max_lr, base_lr = set_max_base_lr(combo)
-        set_flag("--max_lr", max_lr)
-        set_flag("--base_lr", base_lr)
-        if combo.get("base_lr") is not None and combo.get("max_lr") is None:
-            # reference: base_lr-only sweeps run a flat schedule
-            set_flag("--lr", base_lr)
+        if runner == "cifar":
+            # cifar uses the cyclic schedule's endpoints; max_lr == base_lr
+            # already yields the reference's flat-schedule semantics
+            set_flag("--max_lr", max_lr)
+            set_flag("--base_lr", base_lr)
+        else:
+            # mnist has a single flat --lr
+            set_flag("--lr", max_lr)
 
     for k, v in combo.items():
         if k in _SOLVER_KEYS or k in _LR_KEYS or v is None:
@@ -192,7 +206,7 @@ def run_sweep(
     records = []
     for i, combo in enumerate(combos):
         run_dir = os.path.join(sweep_dir, f"run_{i:03d}")
-        argv = _apply_overrides(list(base_argv), combo, run_dir)
+        argv = _apply_overrides(list(base_argv), combo, run_dir, runner)
         if logger:
             logger.info(f"sweep run {i}/{len(combos)}: {combo}")
         target(argv)

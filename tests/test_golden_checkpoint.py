@@ -161,3 +161,16 @@ def test_golden_pgd_attack_parity(golden):
 
     assert (t_robust == j_robust).all(), "robust predictions diverge"
     assert (t_clean != t_robust).any(), "attack had no effect — not a PGD"
+
+
+def test_mnist_importer_rejects_unknown_entries():
+    import numpy as _np
+
+    from neural_ode_metasolver_tpu.models import (
+        mnist_params_from_torch_state_dict,
+    )
+
+    sd = {"downsampling_layers.0.weight": _np.zeros((64, 1, 3, 3)),
+          "blocks.1.rhs_func.norm1.weight": _np.ones((64,))}
+    with pytest.raises(ValueError, match="blocks.1"):
+        mnist_params_from_torch_state_dict(sd)

@@ -122,3 +122,42 @@ def test_sweep_cli_with_lr_override(tmp_path):
     args_logged = config_rec["args"]
     assert float(args_logged["max_lr"]) == 0.05
     assert abs(float(args_logged["base_lr"]) - 0.05 / 1e6) < 1e-12
+
+
+def test_apply_overrides_lr_mapping_and_bools():
+    from neural_ode_metasolver_tpu.runners.sweep import _apply_overrides
+
+    # cifar: cyclic endpoints
+    argv = _apply_overrides([], {"max_lr": 0.1, "max_lr_reduction": 100.0},
+                            "d", runner="cifar")
+    assert argv[argv.index("--max_lr") + 1] == "0.1"
+    assert argv[argv.index("--base_lr") + 1] == "0.001"
+    # mnist has no cyclic flags: LR overrides map onto flat --lr
+    argv = _apply_overrides([], {"base_lr": 0.01}, "d", runner="mnist")
+    assert "--max_lr" not in argv and "--base_lr" not in argv
+    assert argv[argv.index("--lr") + 1] == "0.01"
+    # store_true passthrough: True appends the bare flag, False removes it
+    argv = _apply_overrides(["--resume"], {"ss_loss": True, "resume": False},
+                            "d", runner="mnist")
+    assert "--ss_loss" in argv and "True" not in argv
+    assert "--resume" not in argv
+    # overriding a flag that dangles at the end of argv must not IndexError
+    argv = _apply_overrides(["--save_dir"], {}, "d2", runner="mnist")
+    assert argv[argv.index("--save_dir") + 1] == "d2"
+
+
+def test_sweep_mnist_lr_override_end_to_end(tmp_path):
+    records = run_sweep(
+        "mnist",
+        {"base_lr": [0.001]},
+        str(tmp_path / "sweep"),
+        base_argv=[
+            "--solvers", "rk2,u,2,-1,0.5,-1",
+            "--nepochs", "1",
+            "--batch_size", "16",
+            "--test_batch_size", "16",
+            "--synthetic_train_size", "32",
+            "--synthetic_test_size", "32",
+        ],
+    )
+    assert len(records) == 1 and records[0]["best"] is not None
