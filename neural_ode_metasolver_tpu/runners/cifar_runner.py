@@ -126,6 +126,10 @@ def parse_args(argv=None):
     p.add_argument("--save_dir", type=str, default="./experiment_cifar")
     p.add_argument("--debug", action="store_true")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--nan_backoff", type=float, default=None,
+                   help="on non-finite grads: drop the update and dip the "
+                   "effective step size by this factor (recovers over "
+                   "subsequent finite steps)")
     p.add_argument("--skip_nonfinite", action="store_true",
                    help="skip (not apply) updates with non-finite loss/grads; logs skipped_nonfinite metric")
     p.add_argument("--unroll", type=int, default=1,
@@ -214,6 +218,7 @@ def main(argv=None):
         weight_decay=args.weight_decay,
         grad_clip=args.grad_clipping_threshold,
         every_k=args.zero_grad_every,
+        nonfinite_backoff=args.nan_backoff,
     )
 
     config = {"args": vars(args), "solvers": args.solvers,

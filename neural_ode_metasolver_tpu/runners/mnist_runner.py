@@ -93,6 +93,10 @@ def parse_args(argv=None):
                    help="optimize solver u/v jointly with the network")
     p.add_argument("--lr_uv", type=float, default=0.01,
                    help="learning rate for the solver-parameter group")
+    p.add_argument("--nan_backoff", type=float, default=None,
+                   help="on non-finite grads: drop the update and dip the "
+                   "effective step size by this factor (recovers over "
+                   "subsequent finite steps)")
     p.add_argument("--skip_nonfinite", action="store_true",
                    help="skip (not apply) updates with non-finite loss/grads; logs skipped_nonfinite metric")
     p.add_argument("--unroll", type=int, default=1,
@@ -158,7 +162,8 @@ def main(argv=None):
         decay_rates=[1, 0.1, 0.01, 0.001],
     )
     tx = make_optimizer(args.optim, sched, momentum=args.momentum,
-                        weight_decay=args.weight_decay)
+                        weight_decay=args.weight_decay,
+                        nonfinite_backoff=args.nan_backoff)
 
     config = {"args": vars(args), "solvers": args.solvers, "model": "mnist"}
     if args.train_solver_params:

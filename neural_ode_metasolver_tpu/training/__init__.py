@@ -18,7 +18,7 @@ from .evaluate import (
     sn_test,
 )
 from .metrics import RunningAverageMeter, nfe_per_forward, nfe_per_solve
-from .optimizers import make_optimizer
+from .optimizers import make_optimizer, with_nonfinite_backoff
 from .schedules import constant_lr, cyclic_lr, learning_rate_with_decay
 from .train import (
     AttackConfig,
@@ -52,6 +52,7 @@ __all__ = [
     "nfe_per_forward",
     "nfe_per_solve",
     "make_optimizer",
+    "with_nonfinite_backoff",
     "constant_lr",
     "cyclic_lr",
     "learning_rate_with_decay",

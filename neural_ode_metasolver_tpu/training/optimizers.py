@@ -13,11 +13,11 @@ runner.py:141): sgd(momentum) / rmsprop / adam, with
 """
 from __future__ import annotations
 
-from typing import Callable, Optional, Union
+from typing import Any, Callable, NamedTuple, Optional, Union
 
 import optax
 
-__all__ = ["make_optimizer"]
+__all__ = ["make_optimizer", "with_nonfinite_backoff", "NonfiniteBackoffState"]
 
 Schedule = Union[float, Callable]
 
@@ -29,7 +29,11 @@ def make_optimizer(
     weight_decay: float = 0.0,
     grad_clip: Optional[float] = None,
     every_k: int = 1,
+    nonfinite_backoff: Optional[float] = None,
 ) -> optax.GradientTransformation:
+    """``nonfinite_backoff`` (e.g. 0.5) wraps the whole chain in
+    :func:`with_nonfinite_backoff`: non-finite grads are dropped and the
+    effective step size dips by that factor, then recovers."""
     parts = []
     if grad_clip is not None:
         parts.append(optax.clip_by_global_norm(grad_clip))
@@ -54,4 +58,76 @@ def make_optimizer(
     tx = optax.chain(*parts)
     if every_k > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=every_k)
+    if nonfinite_backoff is not None:
+        tx = with_nonfinite_backoff(tx, backoff=nonfinite_backoff)
     return tx
+
+
+class NonfiniteBackoffState(NamedTuple):
+    inner: Any
+    scale: Any        # f32 scalar in (0, 1]
+    n_skipped: Any    # i32 total non-finite updates dropped
+
+
+def with_nonfinite_backoff(
+    tx: optax.GradientTransformation,
+    backoff: float = 0.5,
+    recovery: float = 1.1,
+    min_scale: float = 1e-3,
+) -> optax.GradientTransformation:
+    """Containment WITH recovery for non-finite gradients.
+
+    The round-2 36-epoch runs showed that batch-level skip
+    (``skip_nonfinite``) contains a divergence but never recovers: once the
+    loss blows up at high LR, every subsequent update is skipped and the
+    run is stuck (results/RESULTS.md).  This wrapper adds the missing
+    dynamics: a non-finite gradient is dropped (inner optimizer state
+    untouched) AND the effective step size is multiplied by ``backoff``;
+    every finite step multiplies it by ``recovery`` back toward 1.  The
+    net effect is an automatic LR dip after instability, letting training
+    resume instead of freezing.  (optax.apply_if_finite gives the skip but
+    not the backoff.)
+
+    Fully jit-compatible: all branching is ``jnp.where`` on a traced flag.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def init(params):
+        return NonfiniteBackoffState(
+            inner=tx.init(params),
+            scale=jnp.ones((), jnp.float32),
+            n_skipped=jnp.zeros((), jnp.int32),
+        )
+
+    def update(grads, state, params=None):
+        finite = jnp.asarray(
+            optax.global_norm(grads), jnp.float32
+        )
+        ok = jnp.isfinite(finite)
+        safe = jax.tree_util.tree_map(
+            lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads
+        )
+        upd, new_inner = tx.update(safe, state.inner, params)
+        # a skipped step must leave the inner state (momentum, nu, counts)
+        # exactly as it was
+        new_inner = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old)
+            if hasattr(new, "dtype") else new,
+            new_inner, state.inner,
+        )
+        upd = jax.tree_util.tree_map(
+            lambda u: jnp.where(ok, u * state.scale, jnp.zeros_like(u)), upd
+        )
+        new_scale = jnp.where(
+            ok,
+            jnp.minimum(state.scale * recovery, 1.0),
+            jnp.maximum(state.scale * backoff, min_scale),
+        ).astype(jnp.float32)
+        return upd, NonfiniteBackoffState(
+            inner=new_inner,
+            scale=new_scale,
+            n_skipped=state.n_skipped + jnp.where(ok, 0, 1).astype(jnp.int32),
+        )
+
+    return optax.GradientTransformation(init, update)

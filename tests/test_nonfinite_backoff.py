@@ -1,0 +1,118 @@
+"""with_nonfinite_backoff: drops bad updates, dips the step size, and
+recovers — the containment-WITH-recovery the 36-epoch divergence study
+showed was missing (results/RESULTS.md)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from neural_ode_metasolver_tpu.training import (
+    make_optimizer,
+    with_nonfinite_backoff,
+)
+from neural_ode_metasolver_tpu.training.optimizers import (
+    NonfiniteBackoffState,
+)
+
+
+def _params():
+    return {"w": jnp.ones((4,), jnp.float32)}
+
+
+def test_finite_path_matches_inner_optimizer_scaled():
+    inner = make_optimizer("sgd", 0.1, momentum=0.9)
+    tx = with_nonfinite_backoff(inner)
+    p = _params()
+    s = tx.init(p)
+    s_inner = inner.init(p)
+    g = {"w": jnp.full((4,), 0.5)}
+    u, s2 = tx.update(g, s, p)
+    u_ref, _ = inner.update(g, s_inner, p)
+    np.testing.assert_allclose(np.asarray(u["w"]), np.asarray(u_ref["w"]))
+    assert float(s2.scale) == 1.0
+    assert int(s2.n_skipped) == 0
+
+
+def test_nan_grad_skipped_and_scale_dips():
+    inner = make_optimizer("sgd", 0.1, momentum=0.9)
+    tx = with_nonfinite_backoff(inner, backoff=0.5)
+    p = _params()
+    s = tx.init(p)
+    # one good step to populate momentum
+    g_good = {"w": jnp.full((4,), 0.5)}
+    _, s = tx.update(g_good, s, p)
+    trace_before = jax.tree_util.tree_leaves(s.inner)[0].copy()
+
+    g_bad = {"w": jnp.array([1.0, jnp.nan, 1.0, 1.0])}
+    u, s2 = tx.update(g_bad, s, p)
+    assert np.all(np.asarray(u["w"]) == 0.0), "bad update must be dropped"
+    assert float(s2.scale) == 0.5
+    assert int(s2.n_skipped) == 1
+    # inner state untouched by the skipped step
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(s2.inner)[0]),
+        np.asarray(trace_before),
+    )
+
+
+def test_recovery_climbs_back_to_one():
+    inner = make_optimizer("sgd", 0.1)
+    tx = with_nonfinite_backoff(inner, backoff=0.25, recovery=2.0)
+    p = _params()
+    s = tx.init(p)
+    g_bad = {"w": jnp.full((4,), jnp.inf)}
+    g_good = {"w": jnp.full((4,), 0.1)}
+    _, s = tx.update(g_bad, s, p)   # scale 0.25
+    assert float(s.scale) == 0.25
+    u, s = tx.update(g_good, s, p)  # applied at 0.5... no: 0.25, then *2
+    np.testing.assert_allclose(
+        np.asarray(u["w"]), -0.1 * 0.1 * 0.25, rtol=1e-6
+    )
+    assert float(s.scale) == 0.5
+    _, s = tx.update(g_good, s, p)
+    assert float(s.scale) == 1.0
+    _, s = tx.update(g_good, s, p)
+    assert float(s.scale) == 1.0  # capped
+
+
+def test_scale_floor():
+    inner = make_optimizer("sgd", 0.1)
+    tx = with_nonfinite_backoff(inner, backoff=0.1, min_scale=1e-2)
+    p = _params()
+    s = tx.init(p)
+    g_bad = {"w": jnp.full((4,), jnp.nan)}
+    for _ in range(5):
+        _, s = tx.update(g_bad, s, p)
+    assert float(s.scale) == pytest.approx(1e-2)
+    assert int(s.n_skipped) == 5
+
+
+def test_jit_and_training_recovers_through_nan_burst():
+    """End to end under jit: a burst of nan grads mid-training must not
+    freeze progress — params keep moving afterwards."""
+    inner = make_optimizer("sgd", 0.1, momentum=0.9)
+    tx = with_nonfinite_backoff(inner, backoff=0.5, recovery=1.5)
+    p = _params()
+    s = tx.init(p)
+
+    @jax.jit
+    def step(p, s, g):
+        import optax
+
+        u, s = tx.update(g, s, p)
+        return optax.apply_updates(p, u), s
+
+    g = {"w": jnp.full((4,), 0.3)}
+    for _ in range(3):
+        p, s = step(p, s, g)
+    p_before_burst = np.asarray(p["w"]).copy()
+    bad = {"w": jnp.full((4,), jnp.nan)}
+    for _ in range(3):
+        p, s = step(p, s, bad)
+    np.testing.assert_array_equal(np.asarray(p["w"]), p_before_burst)
+    assert int(s.n_skipped) == 3
+    for _ in range(6):  # 0.5^3 * 1.5^6 > 1 -> capped at 1.0
+        p, s = step(p, s, g)
+    assert np.all(np.isfinite(np.asarray(p["w"])))
+    assert np.abs(np.asarray(p["w"]) - p_before_burst).max() > 0.05
+    assert float(s.scale) == 1.0  # fully recovered

@@ -355,3 +355,10 @@ def test_pipeline_apply_validates():
     with pytest.raises(ValueError):
         pipeline_apply(lambda p, x: x, good, jnp.zeros((7, 2)), mesh,
                        axis="pp", n_microbatches=4)  # 7 % 4 != 0
+
+
+def test_tp_with_nonfinite_backoff():
+    """The backoff wrapper's state nests the inner opt state one level
+    deeper; structure-matched sharding must still find the param mirrors
+    and replicate the scale/counter scalars."""
+    _assert_tp_step_matches("sgd", momentum=0.9, nonfinite_backoff=0.5)

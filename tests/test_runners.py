@@ -115,3 +115,18 @@ def test_mnist_runner_train_solver_params(tmp_path):
     ])
     import glob, os
     assert glob.glob(os.path.join(save, "solver_trained", "step_*"))
+
+
+def test_mnist_runner_with_nan_backoff(tmp_path):
+    save = str(tmp_path / "mnist_backoff")
+    mnist_runner.main([
+        "--solvers", "rk2,u,2,-1,0.5,-1",
+        "--nepochs", "1",
+        "--batch_size", "16",
+        "--test_batch_size", "16",
+        "--synthetic_train_size", "32",
+        "--synthetic_test_size", "32",
+        "--nan_backoff", "0.5",
+        "--save_dir", save,
+    ])
+    assert glob.glob(os.path.join(save, "last", "step_*"))
