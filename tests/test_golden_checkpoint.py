@@ -236,3 +236,47 @@ def test_golden_accuracy_parity_on_real_digits(golden):
     # the parity target is 0.5% — assert well inside it
     assert abs(j_rob - t_rob) <= 0.005, (j_rob, t_rob)
     print(f"clean j=t={j_clean:.4f} robust jax={j_rob:.4f} torch={t_rob:.4f}")
+
+
+def test_golden_sn_table_parity(golden, tmp_path):
+    """Step-count robustness TABLE parity: the reference's published
+    artifacts are steps_arr accuracy sweeps (accuracy/*.pkl).  Produce the
+    same table from the golden weights on real digits in BOTH frameworks;
+    every entry must match within the 0.5% target, and ours is emitted in
+    the reference's pickle schema."""
+    from neural_ode_metasolver_tpu.data import load_digits_dataset
+    from neural_ode_metasolver_tpu.training import (
+        load_accuracy_table,
+        save_accuracy_table,
+    )
+
+    tm, params = golden
+    _, test_ds = load_digits_dataset(seed=0)
+    x = test_ds.images[:256]
+    y = test_ds.labels[:256]
+    steps_arr = [1, 2, 4, 8]
+
+    j_row, t_row = [], []
+    for n in steps_arr:
+        solver = create_solver("rk2", "u", n_steps=n, u0=0.5)
+        logits, _ = apply_mnist(
+            params, jnp.asarray(x), [solver], SolverOptions(),
+            cfg=MnistConfig(),
+        )
+        j_row.append(float((np.asarray(jnp.argmax(logits, -1)) == y).mean()))
+        rs = _ref_solver("rk2", n, 0.5)
+        with torch.no_grad():
+            t_pred = tm(
+                torch.tensor(x.transpose(0, 3, 1, 2)),
+                solvers=[rs], solver_options=_RefOpts(),
+            ).argmax(-1).numpy()
+        t_row.append(float((t_pred == y).mean()))
+
+    for n, ja, ta in zip(steps_arr, j_row, t_row):
+        assert abs(ja - ta) <= 0.005, (n, ja, ta)
+
+    path = str(tmp_path / "golden_sn.pkl")
+    save_accuracy_table(path, [j_row], steps_arr)
+    d = load_accuracy_table(path)
+    assert d["steps_arr"] == steps_arr
+    assert d["accs"] == [j_row]
