@@ -362,3 +362,56 @@ def test_tp_with_nonfinite_backoff():
     deeper; structure-matched sharding must still find the param mirrors
     and replicate the scale/counter scalars."""
     _assert_tp_step_matches("sgd", momentum=0.9, nonfinite_backoff=0.5)
+
+
+def test_pipeline_apply_is_trainable():
+    """grad through the shard_map pipeline == grad of the sequential
+    composition — pp is training-capable, not a forward-only demo."""
+    from neural_ode_metasolver_tpu.models import nn as fnn
+    from neural_ode_metasolver_tpu.parallel import (
+        pipeline_apply,
+        stack_stage_params,
+    )
+
+    S, M = 4, 8
+    mesh = make_mesh({"pp": S, "data": 2})
+    solver = create_solver("rk2", "u", n_steps=2, u0=0.5)
+    keys = jax.random.split(jax.random.key(0), S)
+    stages = [
+        {
+            "c1": fnn.conv2d_init(jax.random.fold_in(k, 1), 8, 8, 3),
+            "c2": fnn.conv2d_init(jax.random.fold_in(k, 2), 8, 8, 3),
+        }
+        for k in keys
+    ]
+
+    def block(p, xb):
+        def rhs(t, yv):
+            h = jax.nn.gelu(fnn.conv2d(p["c1"], yv, padding=1))
+            return fnn.conv2d(p["c2"], h, padding=1)
+
+        return solver.integrate_final(rhs, xb)
+
+    x = jax.random.normal(jax.random.key(1), (16, 8, 8, 8), jnp.float32)
+    stacked = stack_stage_params(stages)
+
+    def loss_pp(sp):
+        return jnp.mean(
+            pipeline_apply(block, sp, x, mesh, axis="pp",
+                           n_microbatches=M) ** 2
+        )
+
+    def loss_seq(stages_list):
+        y = x
+        for p in stages_list:
+            y = block(p, y)
+        return jnp.mean(y ** 2)
+
+    g_pp = jax.jit(jax.grad(loss_pp))(stacked)
+    g_seq = stack_stage_params(jax.grad(loss_seq)(stages))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_pp), jax.tree_util.tree_leaves(g_seq)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
+        )
