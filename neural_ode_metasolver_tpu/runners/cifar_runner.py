@@ -126,6 +126,11 @@ def parse_args(argv=None):
     p.add_argument("--save_dir", type=str, default="./experiment_cifar")
     p.add_argument("--debug", action="store_true")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--integration_method", type=str, default="backprop",
+                   choices=["backprop", "adjoint"],
+                   help="gradient path through the ODE solve: exact "
+                   "backprop-through-scan, or the continuous adjoint "
+                   "(O(1) activation memory; runner_old.py analog)")
     p.add_argument("--nan_backoff", type=float, default=None,
                    help="on non-finite grads: drop the update and dip the "
                    "effective step size by this factor (recovers over "

@@ -190,6 +190,7 @@ def fit(
         compute_dtype=compute_dtype,
         skip_nonfinite=getattr(args, "skip_nonfinite", False),
         unroll=getattr(args, "unroll", 1),
+        integration_method=getattr(args, "integration_method", "backprop"),
     )
     config = dict(config or {})
     save_dir = getattr(args, "save_dir", None)

@@ -93,6 +93,11 @@ def parse_args(argv=None):
                    help="optimize solver u/v jointly with the network")
     p.add_argument("--lr_uv", type=float, default=0.01,
                    help="learning rate for the solver-parameter group")
+    p.add_argument("--integration_method", type=str, default="backprop",
+                   choices=["backprop", "adjoint"],
+                   help="gradient path through the ODE solve: exact "
+                   "backprop-through-scan, or the continuous adjoint "
+                   "(O(1) activation memory; runner_old.py analog)")
     p.add_argument("--nan_backoff", type=float, default=None,
                    help="on non-finite grads: drop the update and dip the "
                    "effective step size by this factor (recovers over "

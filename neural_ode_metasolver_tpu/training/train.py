@@ -138,7 +138,8 @@ def _noise_solvers(solvers, key, noise_cfg: NoiseConfig):
 
 
 def _run_attack(model, params, state, solvers, options, attack_cfg,
-                x, y, k_attack, k_fwd, remat, unroll):
+                x, y, k_attack, k_fwd, remat, unroll,
+                integration_method="backprop"):
     """Build the adversarial batch.  The attack forward runs in eval mode
     (reference FGSM/PGD set model.eval(), fgsm.py:23-25)."""
 
@@ -146,6 +147,7 @@ def _run_attack(model, params, state, solvers, options, attack_cfg,
         logits, _, _ = model.apply(
             params, state, xi, solvers, options, key=k_fwd, train=False,
             remat=remat, unroll=unroll,
+            integration_method=integration_method,
         )
         return logits
 
@@ -184,6 +186,7 @@ def make_train_step(
     jit_compile: bool = True,
     compute_dtype=None,
     skip_nonfinite: bool = False,
+    integration_method: str = "backprop",
 ):
     """Returns ``step(ts, x, y, key) -> (ts, metrics)`` (jitted unless
     ``jit_compile=False`` — e.g. when the caller re-jits with mesh shardings
@@ -212,6 +215,7 @@ def make_train_step(
         x_adv = _run_attack(
             model, ts.params, ts.model_state, solvers_t, solver_options,
             attack_cfg, x, y, k_attack, k_afwd, remat, unroll,
+            integration_method,
         )
 
         if loss_cfg.data_noise_std > 1e-12:
@@ -224,6 +228,7 @@ def make_train_step(
                 params, ts.model_state, x_adv, solvers_t, solver_options,
                 key=k_fwd, train=True, ss_loss=loss_cfg.ss_loss,
                 ss_loss_abs=loss_cfg.ss_loss_abs, remat=remat, unroll=unroll,
+                integration_method=integration_method,
             )
             xent = cross_entropy(logits, y)
             loss = xent

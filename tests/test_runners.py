@@ -130,3 +130,20 @@ def test_mnist_runner_with_nan_backoff(tmp_path):
         "--save_dir", save,
     ])
     assert glob.glob(os.path.join(save, "last", "step_*"))
+
+
+def test_mnist_runner_adjoint_integration(tmp_path):
+    """--integration_method adjoint: the continuous-adjoint gradient path
+    trains end to end through the CLI (runner_old.py analog, made live)."""
+    save = str(tmp_path / "mnist_adj")
+    mnist_runner.main([
+        "--solvers", "rk2,u,2,-1,0.5,-1",
+        "--nepochs", "1",
+        "--batch_size", "16",
+        "--test_batch_size", "16",
+        "--synthetic_train_size", "32",
+        "--synthetic_test_size", "32",
+        "--integration_method", "adjoint",
+        "--save_dir", save,
+    ])
+    assert glob.glob(os.path.join(save, "last", "step_*"))
