@@ -128,13 +128,24 @@ def cifar_params_from_torch_state_dict(sd: Mapping[str, Any]):
             "unsupported state_dict entries (norm-bearing checkpoints need "
             f"a config-aware import): {unknown}"
         )
-    # index dicts -> lists, matching init_cifar's block lists
+    # index dicts -> lists, matching init_cifar's block lists.  init_cifar
+    # always emits BOTH kinds per layer (odenet_cifar10.py:253), so a layer
+    # with zero blocks of one kind (e.g. premetanode4: no res blocks;
+    # is_odenet=False: no ode blocks) still needs the empty list — apply
+    # would KeyError otherwise.  NF norms are None leaves ('bn1'/'bn2' per
+    # block plus the top-level 'bn1'); emit them too so the imported tree
+    # is structure-identical to init_cifar's (tx.init / device_put /
+    # tree_map against an init tree all require it).
     for lname, layer in out.items():
         if not lname.startswith("layer"):
             continue
-        for kind in list(layer):
-            blocks = layer[kind]
+        for kind in ("res", "ode"):
+            blocks = layer.get(kind, {})
+            for b in blocks.values():
+                b.setdefault("bn1", None)
+                b.setdefault("bn2", None)
             layer[kind] = [blocks[i] for i in sorted(blocks)]
+    out.setdefault("bn1", None)
     return out
 
 

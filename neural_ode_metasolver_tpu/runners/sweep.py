@@ -126,16 +126,19 @@ def _apply_overrides(
             return
         if flag in argv:
             i = argv.index(flag)
-            if i + 1 < len(argv):
+            if i + 1 < len(argv) and not argv[i + 1].startswith("--"):
                 argv[i + 1] = str(value)
             else:
-                argv.append(str(value))
+                # flag present with no operand (trailing, or followed by
+                # another flag): insert rather than clobber the neighbor
+                argv.insert(i + 1, str(value))
         else:
             argv.extend([flag, str(value)])
 
     if any(combo.get(k) is not None for k in _SOLVER_KEYS):
-        if "--solvers" in argv:
-            dsl = argv[argv.index("--solvers") + 1]
+        si = argv.index("--solvers") if "--solvers" in argv else -1
+        if si >= 0 and si + 1 < len(argv) and not argv[si + 1].startswith("--"):
+            dsl = argv[si + 1]
         else:
             dsl = "rk2,u,8,-1,0.5,-1"
         tokens = [s.split(",") for s in dsl.split(";")]
@@ -204,22 +207,38 @@ def run_sweep(
     combos = expand_grid(config)
     target = _runner_main(runner)
     records = []
+    summary = os.path.join(sweep_dir, "sweep_summary.csv")
+    # all combos share the same key set, so the header is known up front
+    # and the summary can be written incrementally: a crashing grid point
+    # (bad combo, OOM, divergence assert) must not lose the completed runs
+    keys = sorted({"run", "run_dir", "best", "error"}
+                  | {k for c in combos for k in c})
+
+    def write_summary():
+        with open(summary, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=keys)
+            w.writeheader()
+            w.writerows(records)
+
     for i, combo in enumerate(combos):
         run_dir = os.path.join(sweep_dir, f"run_{i:03d}")
         argv = _apply_overrides(list(base_argv), combo, run_dir, runner)
         if logger:
             logger.info(f"sweep run {i}/{len(combos)}: {combo}")
-        target(argv)
-        rec = {"run": i, "run_dir": run_dir, **combo,
-               "best": _best_metric(run_dir)}
+        rec = {"run": i, "run_dir": run_dir, **combo, "error": ""}
+        try:
+            target(argv)
+            rec["best"] = _best_metric(run_dir)
+        except SystemExit as e:  # argparse rejection of a bad combo
+            rec.update(best=None, error=f"SystemExit({e.code})")
+            if logger:
+                logger.error(f"sweep run {i} argv rejected: {argv}")
+        except Exception as e:  # noqa: BLE001 - one run must not kill the grid
+            rec.update(best=None, error=f"{type(e).__name__}: {e}")
+            if logger:
+                logger.error(f"sweep run {i} failed: {e!r}")
         records.append(rec)
-
-    summary = os.path.join(sweep_dir, "sweep_summary.csv")
-    keys = sorted({k for r in records for k in r})
-    with open(summary, "w", newline="") as f:
-        w = csv.DictWriter(f, fieldnames=keys)
-        w.writeheader()
-        w.writerows(records)
+        write_summary()
     return records
 
 

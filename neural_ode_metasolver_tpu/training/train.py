@@ -253,11 +253,19 @@ def make_train_step(
                 lambda new, old: jnp.where(ok, new, old),
                 new_params, ts.params,
             )
-            new_opt_state = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(ok, new, old)
-                if hasattr(new, "dtype") else new,
-                new_opt_state, ts.opt_state,
-            )
+            # When the optimizer is wrapped in with_nonfinite_backoff, it
+            # already preserves its inner state on non-finite grads AND
+            # must record the event (scale dip, n_skipped) — reverting the
+            # opt state here would silently undo the backoff.  Only revert
+            # when the optimizer has no such handling of its own.
+            from .optimizers import NonfiniteBackoffState
+
+            if not isinstance(new_opt_state, NonfiniteBackoffState):
+                new_opt_state = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(ok, new, old)
+                    if hasattr(new, "dtype") else new,
+                    new_opt_state, ts.opt_state,
+                )
 
         acc = jnp.mean((jnp.argmax(logits, axis=-1) == y).astype(jnp.float32))
         metrics = {

@@ -116,3 +116,38 @@ def test_jit_and_training_recovers_through_nan_burst():
     assert np.all(np.isfinite(np.asarray(p["w"])))
     assert np.abs(np.asarray(p["w"]) - p_before_burst).max() > 0.05
     assert float(s.scale) == 1.0  # fully recovered
+
+
+def test_skip_nonfinite_does_not_undo_backoff():
+    """--skip_nonfinite and --nan_backoff together: the train step's skip
+    branch must leave the backoff wrapper's bookkeeping (scale dip,
+    n_skipped) intact — reverting the whole opt state would silently
+    disable the LR backoff and degenerate to pure skip."""
+    from neural_ode_metasolver_tpu.models.api import build_model
+    from neural_ode_metasolver_tpu.ops import SolverOptions, create_solver
+    from neural_ode_metasolver_tpu.training import (
+        create_train_state,
+        make_train_step,
+    )
+
+    model = build_model("mnist", dim=16)
+    tx = make_optimizer("sgd", 0.05, momentum=0.9, nonfinite_backoff=0.5)
+    ts = create_train_state(model, tx, jax.random.key(0))
+    solvers = [create_solver("rk2", "u", n_steps=2, u0=0.5)]
+    step = make_train_step(model, tx, solvers, SolverOptions(),
+                           skip_nonfinite=True, donate=False)
+
+    x_bad = jnp.full((4, 28, 28, 1), jnp.nan, jnp.float32)
+    y = jnp.zeros((4,), jnp.int32)
+    params_before = [np.asarray(l).copy()
+                     for l in jax.tree_util.tree_leaves(ts.params)]
+    ts2, m = step(ts, x_bad, y, jax.random.key(1))
+    assert float(m["skipped_nonfinite"]) == 1.0
+    assert isinstance(ts2.opt_state, NonfiniteBackoffState)
+    # the event must be recorded: scale dipped, counter advanced
+    assert float(ts2.opt_state.scale) == 0.5
+    assert int(ts2.opt_state.n_skipped) == 1
+    # and params still contained
+    for a, b in zip(params_before,
+                    jax.tree_util.tree_leaves(ts2.params)):
+        np.testing.assert_array_equal(a, np.asarray(b))

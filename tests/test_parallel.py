@@ -415,3 +415,14 @@ def test_pipeline_apply_is_trainable():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
         )
+
+
+def test_provision_devices_child_guard(monkeypatch):
+    """The subprocess re-exec path must not recurse: a child that still
+    cannot provision enough devices fails instead of spawning again."""
+    import __graft_entry__ as g
+
+    jax.devices()  # make sure a backend is committed
+    monkeypatch.setenv("_NODEMS_DRYRUN_CHILD", "1")
+    with pytest.raises(RuntimeError, match="child process"):
+        g._provision_devices(4096)

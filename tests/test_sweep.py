@@ -161,3 +161,53 @@ def test_sweep_mnist_lr_override_end_to_end(tmp_path):
         ],
     )
     assert len(records) == 1 and records[0]["best"] is not None
+
+
+def test_apply_overrides_solver_token_edge_cases():
+    from neural_ode_metasolver_tpu.runners.sweep import _apply_overrides
+
+    # dangling --solvers at the end of argv: no IndexError, default DSL
+    argv = _apply_overrides(["--solvers"], {"wnb_u": 0.6}, "d")
+    assert argv[argv.index("--solvers") + 1] == "rk2,u,8,-1,0.6,-1"
+    # --solvers immediately followed by another flag: same fallback, and
+    # the neighbor flag survives
+    argv = _apply_overrides(["--solvers", "--debug"], {"wnb_u": 0.6}, "d")
+    assert argv[argv.index("--solvers") + 1] == "rk2,u,8,-1,0.6,-1"
+    assert "--debug" in argv
+    # non-bool override of a flag present without an operand must insert,
+    # not clobber the adjacent flag name
+    argv = _apply_overrides(["--flagx", "--nepochs", "2"],
+                            {"flagx": 0.5}, "d")
+    assert argv[argv.index("--flagx") + 1] == "0.5"
+    assert argv[argv.index("--nepochs") + 1] == "2"
+    # negative operands are values, not flags
+    argv = _apply_overrides(["--solvers", "rk2,u,8,-1,0.25,-1"],
+                            {"wnb_u": 0.75}, "d")
+    assert argv[argv.index("--solvers") + 1] == "rk2,u,8,-1,0.75,-1"
+
+
+def test_sweep_survives_failing_run(tmp_path):
+    """One crashing grid point (unknown solver method) must not lose the
+    rest of the sweep or the summary CSV."""
+    records = run_sweep(
+        "mnist",
+        {"solvers": ["rk9,u,2,-1,0.5,-1", "rk2,u,2,-1,0.5,-1"]},
+        str(tmp_path / "sweep"),
+        base_argv=[
+            "--nepochs", "1",
+            "--batch_size", "16",
+            "--test_batch_size", "16",
+            "--synthetic_train_size", "32",
+            "--synthetic_test_size", "32",
+        ],
+    )
+    assert len(records) == 2
+    failed = [r for r in records if r["error"]]
+    ok = [r for r in records if not r["error"]]
+    assert len(failed) == 1 and failed[0]["best"] is None
+    assert len(ok) == 1 and ok[0]["best"] is not None
+
+    with open(tmp_path / "sweep" / "sweep_summary.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 2
+    assert sorted(bool(r["error"]) for r in rows) == [False, True]

@@ -192,3 +192,43 @@ def test_cifar_torch_import_rejects_norm_checkpoints():
           "bn1.weight": np.ones((64,), np.float32)}
     with pytest.raises(ValueError, match="bn1.weight"):
         cifar_params_from_torch_state_dict(sd)
+
+
+def test_cifar_import_zero_res_blocks_premetanode4():
+    """Registry configs with zero blocks of one kind per layer
+    (premetanode4: no res blocks; is_odenet=False nets: no ode blocks)
+    must still convert to init_cifar's exact tree — which always carries
+    BOTH 'res' and 'ode' lists — or apply_cifar KeyErrors."""
+    from neural_ode_metasolver_tpu.models import (
+        apply_cifar,
+        cifar_params_from_torch_state_dict,
+        init_cifar,
+        premetanode4,
+    )
+    from neural_ode_metasolver_tpu.ops import SolverOptions, create_solver
+
+    rng = np.random.RandomState(0)
+    p = 16
+    f32 = np.float32
+    sd = {
+        "conv1.weight": (rng.randn(p, 3, 3, 3) * 0.1).astype(f32),
+        "layer1.blocks_ode.0.rhs_func.conv1.weight":
+            (rng.randn(p, p, 3, 3) * 0.1).astype(f32),
+        "layer1.blocks_ode.0.rhs_func.conv2.weight":
+            (rng.randn(p, p, 3, 3) * 0.1).astype(f32),
+        "fc_layers.4.weight": (rng.randn(10, p) * 0.1).astype(f32),
+        "fc_layers.4.bias": np.zeros(10, f32),
+    }
+    params = cifar_params_from_torch_state_dict(sd)
+
+    cfg = premetanode4(in_planes=p)
+    init_params, state = init_cifar(jax.random.key(0), cfg)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(init_params))
+
+    solver = create_solver("rk2", "u", n_steps=2, u0=0.5)
+    x = jnp.asarray(rng.rand(2, 32, 32, 3).astype(f32))
+    logits, _, _ = apply_cifar(params, state, x, [solver],
+                               SolverOptions(), cfg=cfg)
+    assert logits.shape == (2, 10)
+    assert np.all(np.isfinite(np.asarray(logits)))
