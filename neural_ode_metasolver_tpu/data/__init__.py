@@ -14,8 +14,10 @@ from .datasets import (
     synthetic_dataset,
     train_val_split,
 )
+from .prefetch import prefetch_to_device
 
 __all__ = [
+    "prefetch_to_device",
     "CIFAR10_MEAN",
     "CIFAR10_STD",
     "Dataset",

@@ -202,19 +202,34 @@ def fit(
     best: dict = {}
     predict_cache: dict = {}
     batch_meter = RunningAverageMeter()
+    from ..data.prefetch import prefetch_to_device
     from ..training.logging import MetricsLogger
 
+    prefetch = getattr(args, "prefetch", 2)
     mlog = MetricsLogger(save_dir or ".", config=config) if save_dir else None
     for epoch in range(getattr(args, "nepochs", 1)):
+        # Throughput discipline: batches are device_put ahead of the step
+        # (upload rides under compute) and per-step metrics stay on device
+        # until the epoch ends — a float() per step would block dispatch
+        # pipelining (SCALING.md timing methodology).
+        batches = train_data_factory(epoch)
+        if prefetch:
+            batches = prefetch_to_device(batches, size=prefetch)
         losses = []
-        skipped = 0.0
-        for x, y in train_data_factory(epoch):
+        skipped = []
+        n_batches = 0
+        t_epoch = time.perf_counter()
+        for x, y in batches:
             key, sub = jax.random.split(key)
-            t0 = time.perf_counter()
             ts, m = step(ts, jnp.asarray(x), jnp.asarray(y), sub)
-            losses.append(float(m["loss"]))
-            skipped += float(m.get("skipped_nonfinite", 0.0))
-            batch_meter.update(time.perf_counter() - t0)
+            losses.append(m["loss"])
+            if "skipped_nonfinite" in m:
+                skipped.append(m["skipped_nonfinite"])
+            n_batches += 1
+        losses = [float(v) for v in jax.device_get(losses)]  # drains the queue
+        skipped = float(np.sum(jax.device_get(skipped))) if skipped else 0.0
+        if n_batches:
+            batch_meter.update((time.perf_counter() - t_epoch) / n_batches)
         logger.info(
             f"epoch {epoch} | train loss {np.mean(losses):.4f} | "
             f"batch time {batch_meter.avg:.3f}s"

@@ -110,6 +110,9 @@ def parse_args(argv=None):
                    choices=["f32", "bf16"],
                    help="compute precision (bf16 = mixed precision, the "
                         "apex-O1 analog; master params stay f32)")
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="batches to device_put ahead of the train step "
+                        "(0 disables; overlaps upload with compute)")
     p.add_argument("--synthetic_train_size", type=int, default=4096)
     p.add_argument("--synthetic_test_size", type=int, default=1024)
     return p.parse_args(argv)

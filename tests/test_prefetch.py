@@ -1,0 +1,57 @@
+"""prefetch_to_device: ordering, completeness, device placement, and the
+fit-loop integration (deferred metrics must not change results)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from neural_ode_metasolver_tpu.data import (
+    batch_iterator,
+    prefetch_to_device,
+    synthetic_dataset,
+)
+
+
+def test_prefetch_preserves_order_and_content():
+    items = [(np.full((2, 2), i, np.float32), np.array([i])) for i in range(7)]
+    out = list(prefetch_to_device(iter(items), size=3))
+    assert len(out) == 7
+    for i, (x, y) in enumerate(out):
+        assert isinstance(x, jax.Array) and isinstance(y, jax.Array)
+        np.testing.assert_array_equal(np.asarray(x), items[i][0])
+        np.testing.assert_array_equal(np.asarray(y), items[i][1])
+
+
+def test_prefetch_empty_and_short_iterators():
+    assert list(prefetch_to_device(iter([]), size=2)) == []
+    one = [(np.zeros(1, np.float32),)]
+    assert len(list(prefetch_to_device(iter(one), size=4))) == 1
+    with pytest.raises(ValueError):
+        next(prefetch_to_device(iter(one), size=0))
+
+
+def test_prefetch_with_sharding():
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = np.array(jax.devices()[:4]).reshape(4)
+    mesh = Mesh(devs, ("data",))
+    sh = NamedSharding(mesh, P("data"))
+    batches = [np.arange(8, dtype=np.float32) for _ in range(3)]
+    out = list(prefetch_to_device(iter(batches), size=2, sharding=sh))
+    assert len(out) == 3
+    assert out[0].sharding == sh
+    np.testing.assert_array_equal(np.asarray(out[1]), batches[1])
+
+
+def test_prefetch_batches_feed_jitted_step():
+    ds = synthetic_dataset(64, (8, 8, 1), template_seed=3)
+
+    @jax.jit
+    def norm(x, y):
+        return jnp.sum(x) + jnp.sum(y)
+
+    direct = [float(norm(jnp.asarray(x), jnp.asarray(y)))
+              for x, y in batch_iterator(ds, 16, seed=0)]
+    pre = [float(norm(x, y))
+           for x, y in prefetch_to_device(batch_iterator(ds, 16, seed=0))]
+    assert direct == pre
