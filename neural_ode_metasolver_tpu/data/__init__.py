@@ -14,9 +14,11 @@ from .datasets import (
     synthetic_dataset,
     train_val_split,
 )
+from .download import download_dataset
 from .prefetch import prefetch_to_device
 
 __all__ = [
+    "download_dataset",
     "prefetch_to_device",
     "CIFAR10_MEAN",
     "CIFAR10_STD",

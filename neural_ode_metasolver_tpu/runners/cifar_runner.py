@@ -122,6 +122,9 @@ def parse_args(argv=None):
     p.add_argument("--pgd_lr_testing", type=float, default=2 / 255)
     p.add_argument("--pgd_niter_testing", type=int, default=7)
     # io
+    p.add_argument("--download", action="store_true",
+                   help="fetch CIFAR-10 into --data_root (default data/) if "
+                        "missing — the torchvision download=True analog")
     p.add_argument("--data_root", type=str, default=None)
     p.add_argument("--save_dir", type=str, default="./experiment_cifar")
     p.add_argument("--debug", action="store_true")
@@ -188,6 +191,12 @@ def main(argv=None):
     args.data_mean = CIFAR10_MEAN
     args.data_std = CIFAR10_STD
 
+    if getattr(args, "download", False):
+        from ..data.download import ensure_dataset
+
+        fetched = ensure_dataset("cifar10", args.data_root)
+        if fetched:
+            args.data_root = fetched
     if args.data_root:
         full_train = load_cifar10(args.data_root, train=True)
         test_ds = load_cifar10(args.data_root, train=False)

@@ -78,6 +78,9 @@ def parse_args(argv=None):
     p.add_argument("--ss_loss_reg", type=float, default=0.1)
     p.add_argument("--data_noise_std", type=float, default=0.0)
     # io
+    p.add_argument("--download", action="store_true",
+                   help="fetch MNIST into --data_root (default data/) if "
+                        "missing — the torchvision download=True analog")
     p.add_argument("--data_root", type=str, default=None,
                    help="dir with MNIST IDX files; fallback data if unset")
     p.add_argument("--fallback_dataset", type=str, default="synthetic",
@@ -137,6 +140,12 @@ def main(argv=None):
     params, _ = model.init(jax.random.key(0))
     logger.info(f"Number of parameters: {count_parameters(params)}")
 
+    if getattr(args, "download", False):
+        from ..data.download import ensure_dataset
+
+        fetched = ensure_dataset("mnist", args.data_root)
+        if fetched:
+            args.data_root = fetched
     if args.data_root:
         train_ds = load_mnist(args.data_root, train=True)
         test_ds = load_mnist(args.data_root, train=False)
