@@ -17,11 +17,15 @@ from __future__ import annotations
 
 import collections
 import itertools
+import queue as queue_mod
+import threading
 from typing import Any, Iterable, Iterator, Optional
 
 import jax
 
 __all__ = ["prefetch_to_device"]
+
+_END = object()
 
 
 def prefetch_to_device(
@@ -29,6 +33,7 @@ def prefetch_to_device(
     size: int = 2,
     device: Optional[Any] = None,
     sharding: Optional[Any] = None,
+    thread: bool = False,
 ) -> Iterator[Any]:
     """Yield items from ``iterator`` with their array leaves already on
     device, keeping ``size`` items dispatched ahead of the consumer.
@@ -36,24 +41,77 @@ def prefetch_to_device(
     ``device``/``sharding``: optional placement target forwarded to
     ``jax.device_put`` (a ``Sharding`` distributes the batch over a mesh —
     use ``NamedSharding(mesh, P('data', ...))`` for dp training).
+
+    ``thread=True`` additionally runs the *producer* (the host-side
+    iterator — e.g. numpy crop/flip augmentation — plus the device_put
+    dispatch) on a background thread with a bounded queue, so host batch
+    prep overlaps device compute instead of serializing with it. The
+    dispatch-ahead deque alone cannot hide host work: it front-loads
+    transfers but still runs the iterator on the consumer's thread.
     """
     if size < 1:
         raise ValueError(f"prefetch size must be >= 1, got {size}")
     target = sharding if sharding is not None else device
-    it = iter(iterator)
-    queue: collections.deque = collections.deque()
 
     def put(item):
         return jax.tree_util.tree_map(
             lambda a: jax.device_put(a, target), item
         )
 
-    def enqueue(n):
-        for item in itertools.islice(it, n):
-            queue.append(put(item))
+    if thread:
+        return _threaded_prefetch(iterator, size, put)
 
-    enqueue(size)
-    while queue:
-        item = queue.popleft()
-        enqueue(1)
-        yield item
+    it = iter(iterator)
+    buf: collections.deque = collections.deque()
+
+    def gen():
+        def enqueue(n):
+            for item in itertools.islice(it, n):
+                buf.append(put(item))
+
+        enqueue(size)
+        while buf:
+            item = buf.popleft()
+            enqueue(1)
+            yield item
+
+    return gen()
+
+
+def _threaded_prefetch(iterator, size, put) -> Iterator[Any]:
+    q: queue_mod.Queue = queue_mod.Queue(maxsize=size)
+    stop = threading.Event()
+
+    def producer():
+        try:
+            for item in iterator:
+                out = put(item)
+                while not stop.is_set():
+                    try:
+                        q.put(out, timeout=0.1)
+                        break
+                    except queue_mod.Full:
+                        continue
+                if stop.is_set():
+                    return
+            q.put(_END)
+        except BaseException as e:  # propagate to the consumer
+            q.put(e)
+
+    t = threading.Thread(target=producer, daemon=True, name="prefetch")
+    t.start()
+
+    def gen():
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # consumer abandoned early: release the producer
+            stop.set()
+
+    return gen()

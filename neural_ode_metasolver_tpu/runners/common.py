@@ -214,7 +214,9 @@ def fit(
         # pipelining (SCALING.md timing methodology).
         batches = train_data_factory(epoch)
         if prefetch:
-            batches = prefetch_to_device(batches, size=prefetch)
+            # threaded producer: numpy augmentation + upload dispatch run
+            # off-thread, overlapping the previous step's device compute
+            batches = prefetch_to_device(batches, size=prefetch, thread=True)
         losses = []
         skipped = []
         n_batches = 0

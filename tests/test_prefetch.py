@@ -55,3 +55,49 @@ def test_prefetch_batches_feed_jitted_step():
     pre = [float(norm(x, y))
            for x, y in prefetch_to_device(batch_iterator(ds, 16, seed=0))]
     assert direct == pre
+
+
+def test_threaded_prefetch_order_and_content():
+    items = [(np.full((2, 2), i, np.float32), np.array([i])) for i in range(9)]
+    out = list(prefetch_to_device(iter(items), size=3, thread=True))
+    assert len(out) == 9
+    for i, (x, y) in enumerate(out):
+        assert isinstance(x, jax.Array)
+        np.testing.assert_array_equal(np.asarray(x), items[i][0])
+
+
+def test_threaded_prefetch_propagates_producer_error():
+    def bad_iter():
+        yield np.zeros(2, np.float32)
+        raise RuntimeError("producer exploded")
+
+    it = prefetch_to_device(bad_iter(), size=2, thread=True)
+    next(it)
+    import pytest
+    with pytest.raises(RuntimeError, match="producer exploded"):
+        next(it)
+
+
+def test_threaded_prefetch_early_abandon_releases_producer():
+    import itertools as _it
+    import threading
+
+    def infinite():
+        i = 0
+        while True:
+            yield np.full(4, i, np.float32)
+            i += 1
+
+    it = prefetch_to_device(infinite(), size=2, thread=True)
+    got = list(_it.islice(it, 3))
+    assert len(got) == 3
+    it.close()  # generator finally -> stop event
+    import time as _t
+    deadline = _t.time() + 5.0
+    while _t.time() < deadline:
+        alive = [t for t in threading.enumerate() if t.name == "prefetch"]
+        if not any(t.is_alive() for t in alive):
+            break
+        _t.sleep(0.05)
+    else:
+        raise AssertionError("prefetch producer thread did not exit")
