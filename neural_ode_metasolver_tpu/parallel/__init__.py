@@ -3,6 +3,8 @@ from .ensemble import ensemble_integrate, stack_solver_params
 from .pipeline import pipeline_apply, stack_stage_params
 from .mesh import (
     batch_sharding,
+    host_local_batch_to_global,
+    initialize_distributed,
     make_mesh,
     make_parallel_train_step,
     replicated,
@@ -16,6 +18,8 @@ __all__ = [
     "stack_stage_params",
     "stack_solver_params",
     "batch_sharding",
+    "host_local_batch_to_global",
+    "initialize_distributed",
     "make_mesh",
     "make_parallel_train_step",
     "replicated",

@@ -26,6 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
     "initialize_distributed",
+    "host_local_batch_to_global",
     "make_mesh",
     "batch_sharding",
     "replicated",
@@ -53,6 +54,30 @@ def initialize_distributed(
     if process_id is not None:
         kwargs["process_id"] = process_id
     jax.distributed.initialize(**kwargs)
+
+
+def host_local_batch_to_global(batch, mesh: Mesh, axis: str = "data"):
+    """Assemble a *globally* batch-sharded array from this process's local
+    shard — the multi-host data-parallel feeding pattern.
+
+    On a multi-host mesh each process loads only ``global_batch /
+    num_processes`` examples (disjoint slices of the dataset); this stitches
+    them into one global ``jax.Array`` sharded over ``axis`` without any
+    cross-host transfer of examples (each device keeps its host's data).
+    Single-process meshes degenerate to a plain sharded ``device_put``, so
+    the same train loop runs unchanged from 1 chip to a pod.
+
+    ``batch`` is a pytree of host arrays whose leading dim is the LOCAL
+    batch; leaves are placed as ``P(axis)`` over the mesh.
+    """
+    def put(a):
+        a = np.asarray(a)
+        spec = P(axis, *([None] * (a.ndim - 1)))
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), a
+        )
+
+    return jax.tree_util.tree_map(put, batch)
 
 
 def make_mesh(

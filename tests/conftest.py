@@ -19,3 +19,11 @@ import jax  # noqa: E402
 # 8-device virtual CPU mesh, not through the single-chip tunnel.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)  # high-precision references in tests
+
+# Persistent compile cache: the suite's cost is dominated by CPU jit
+# compiles of train-step variants; re-runs should pay only execution.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache_cpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

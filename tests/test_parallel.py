@@ -426,3 +426,48 @@ def test_provision_devices_child_guard(monkeypatch):
     monkeypatch.setenv("_NODEMS_DRYRUN_CHILD", "1")
     with pytest.raises(RuntimeError, match="child process"):
         g._provision_devices(4096)
+
+
+def test_host_local_batch_to_global_single_process():
+    """Single-process degenerate case: the 'local' batch IS the global
+    batch; result must equal a plain sharded device_put, P('data')-sharded,
+    and feed a jitted sum identically."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from neural_ode_metasolver_tpu.parallel import (
+        batch_sharding,
+        host_local_batch_to_global,
+    )
+
+    mesh = make_mesh({"data": 8})
+    x = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+    y = np.arange(16, dtype=np.int32)
+    gx, gy = host_local_batch_to_global((x, y), mesh)
+    assert gx.shape == (16, 3) and gy.shape == (16,)
+    assert gx.sharding == NamedSharding(mesh, P("data", None))
+    assert gy.sharding == NamedSharding(mesh, P("data"))
+    np.testing.assert_array_equal(np.asarray(gx), x)
+    np.testing.assert_array_equal(np.asarray(gy), y)
+    ref = jax.device_put(x, batch_sharding(mesh))
+    assert float(jnp.sum(gx)) == float(jnp.sum(ref))
+
+
+def test_host_local_batch_combines_with_prefetch_sharding():
+    """prefetch_to_device(sharding=...) and host_local_batch_to_global
+    produce identically-sharded batches (the two multi-host feeding paths)."""
+    from neural_ode_metasolver_tpu.data import prefetch_to_device
+    from neural_ode_metasolver_tpu.parallel import (
+        batch_sharding,
+        host_local_batch_to_global,
+    )
+
+    mesh = make_mesh({"data": 8})
+    batches = [np.full((8, 2), i, np.float32) for i in range(3)]
+    via_prefetch = list(
+        prefetch_to_device(iter(batches), size=2,
+                           sharding=batch_sharding(mesh))
+    )
+    via_global = [host_local_batch_to_global(b, mesh) for b in batches]
+    for a, b in zip(via_prefetch, via_global):
+        assert a.sharding.is_equivalent_to(b.sharding, a.ndim)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
