@@ -40,6 +40,17 @@ def _iterate(data):
         yield batch
 
 
+def _drain_counts(counts, total) -> float:
+    """Accuracy from per-batch on-device correct-counts.
+
+    Counts stay on device during the loop (one jax.device_get at the end)
+    so eval batches pipeline through the async dispatch queue instead of
+    blocking on a readback per batch — same discipline as the fit loop
+    (SCALING.md 'input-pipeline discipline')."""
+    correct = int(np.sum(jax.device_get(counts))) if counts else 0
+    return correct / max(total, 1)
+
+
 def accuracy(
     model: Model,
     params,
@@ -54,7 +65,7 @@ def accuracy(
     compiled eval step across epochs; otherwise one is built per call."""
     if predict is None:
         predict = make_eval_step(model, solvers, solver_options)
-    correct = 0
+    counts = []
     total = 0
     for x, y in _iterate(data):
         if key is not None:
@@ -62,9 +73,9 @@ def accuracy(
         else:
             sub = None
         logits = predict(params, state, jnp.asarray(x), sub)
-        correct += int(jnp.sum(jnp.argmax(logits, -1) == jnp.asarray(y)))
+        counts.append(jnp.sum(jnp.argmax(logits, -1) == jnp.asarray(y)))
         total += int(np.asarray(y).shape[0])
-    return correct / max(total, 1)
+    return _drain_counts(counts, total)
 
 
 def adversarial_accuracy(
@@ -103,16 +114,16 @@ def adversarial_accuracy(
             raise ValueError(attack_cfg.mode)
         return fwd(xa)
 
-    correct = 0
+    counts = []
     total = 0
     for x, y in _iterate(data):
         key, k_attack, k_fwd = jax.random.split(key, 3)
         logits = attacked_logits(
             params, state, jnp.asarray(x), jnp.asarray(y), k_attack, k_fwd
         )
-        correct += int(jnp.sum(jnp.argmax(logits, -1) == jnp.asarray(y)))
+        counts.append(jnp.sum(jnp.argmax(logits, -1) == jnp.asarray(y)))
         total += int(np.asarray(y).shape[0])
-    return correct / max(total, 1)
+    return _drain_counts(counts, total)
 
 
 def _ensemble_members(model, members):
@@ -151,7 +162,7 @@ def accuracy_ensemble(
             probs = p if probs is None else probs + p
         return probs / len(members)
 
-    correct = 0
+    counts = []
     total = 0
     for x, y in _iterate(data):
         if key is not None:
@@ -160,9 +171,9 @@ def accuracy_ensemble(
         else:
             subs = [None] * len(members)
         probs = probs_fn(jnp.asarray(x), subs)
-        correct += int(jnp.sum(jnp.argmax(probs, -1) == jnp.asarray(y)))
+        counts.append(jnp.sum(jnp.argmax(probs, -1) == jnp.asarray(y)))
         total += int(np.asarray(y).shape[0])
-    return correct / max(total, 1)
+    return _drain_counts(counts, total)
 
 
 def adversarial_accuracy_ensemble(
@@ -189,14 +200,14 @@ def adversarial_accuracy_ensemble(
             probs = p if probs is None else probs + p
         return probs / len(fwds)
 
-    correct = 0
+    counts = []
     total = 0
     for x, y in _iterate(data):
         key, *subs = jax.random.split(key, len(members) + 1)
         probs = attacked_probs(jnp.asarray(x), jnp.asarray(y), list(subs))
-        correct += int(jnp.sum(jnp.argmax(probs, -1) == jnp.asarray(y)))
+        counts.append(jnp.sum(jnp.argmax(probs, -1) == jnp.asarray(y)))
         total += int(np.asarray(y).shape[0])
-    return correct / max(total, 1)
+    return _drain_counts(counts, total)
 
 
 def sn_test(
