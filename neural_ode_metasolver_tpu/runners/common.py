@@ -37,6 +37,7 @@ from ..training import (
     make_train_step,
     nfe_per_forward,
     save_checkpoint,
+    wait_for_checkpoints,
 )
 
 __all__ = ["fit", "validate", "build_solver_options"]
@@ -103,6 +104,7 @@ def validate(
                         save_checkpoint(
                             os.path.join(save_dir, f"best_solver_{i}"),
                             ts, {**config, "val_acc": acc, "solver_id": i},
+                            block=False,
                         )
         elif mode in ("switch", "ensemble"):
             opts = SolverOptions(
@@ -124,6 +126,7 @@ def validate(
                     save_checkpoint(
                         os.path.join(save_dir, f"best_{mode}"),
                         ts, {**config, "val_acc": acc},
+                        block=False,
                     )
         else:
             raise ValueError(f"unknown val solver mode {mode!r}")
@@ -270,7 +273,11 @@ def fit(
                 mlog.log({"epoch": epoch, "adv_test_acc": adv_acc},
                          step=int(ts.step))
         if save_dir:
-            save_checkpoint(os.path.join(save_dir, "last"), ts, config)
+            # async: serialization/IO overlaps the next epoch's compute
+            save_checkpoint(os.path.join(save_dir, "last"), ts, config,
+                            block=False)
+    if save_dir:
+        wait_for_checkpoints()
     if mlog:
         mlog.log({"best": max(best.values()) if best else 0.0},
                  step=int(ts.step))

@@ -9,7 +9,12 @@ from .solver_training import (
 from .logging import MetricsLogger
 from .accuracy_tables import load_accuracy_table, save_accuracy_table
 from .profiling import annotate, trace
-from .checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from .checkpoint import (
+    latest_step,
+    restore_checkpoint,
+    save_checkpoint,
+    wait_for_checkpoints,
+)
 from .evaluate import (
     accuracy,
     accuracy_ensemble,
@@ -43,6 +48,7 @@ __all__ = [
     "latest_step",
     "restore_checkpoint",
     "save_checkpoint",
+    "wait_for_checkpoints",
     "accuracy",
     "accuracy_ensemble",
     "adversarial_accuracy",

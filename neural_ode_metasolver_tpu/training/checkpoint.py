@@ -16,27 +16,66 @@ import orbax.checkpoint as ocp
 
 from .train import TrainState
 
-__all__ = ["save_checkpoint", "restore_checkpoint", "latest_step"]
+__all__ = [
+    "save_checkpoint",
+    "restore_checkpoint",
+    "latest_step",
+    "wait_for_checkpoints",
+]
 
 
 def _ckpt_dir(base: str, step: int) -> str:
     return os.path.join(os.path.abspath(base), f"step_{step:08d}")
 
 
+_async_ckptr = None
+
+
+def _get_async_ckptr():
+    global _async_ckptr
+    if _async_ckptr is None:
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _async_ckptr
+
+
 def save_checkpoint(
     base_dir: str,
     ts: TrainState,
     config: Optional[Dict[str, Any]] = None,
+    block: bool = True,
 ):
+    """Write one orbax checkpoint (+ config sidecar) for ``ts``'s step.
+
+    ``block=False`` uses an async checkpointer: the device->host snapshot
+    happens before this returns (so donating/overwriting ``ts`` afterwards
+    is safe), but serialization and disk IO proceed on a background thread
+    — the per-epoch save no longer stalls the train loop. Call
+    ``wait_for_checkpoints()`` before reading the files (done at the end
+    of ``runners.common.fit``)."""
     step = int(ts.step)
     path = _ckpt_dir(base_dir, step)
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.join(path, "state"), ts, force=True)
-    ckptr.wait_until_finished()
+    if block:
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.join(path, "state"), ts, force=True)
+        ckptr.wait_until_finished()
+    else:
+        _get_async_ckptr().save(
+            os.path.join(path, "state"),
+            args=ocp.args.StandardSave(ts),
+            force=True,
+        )
     if config is not None:
+        os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "config.json"), "w") as f:
             json.dump(config, f, indent=2, default=str)
     return path
+
+
+def wait_for_checkpoints():
+    """Block until every ``save_checkpoint(..., block=False)`` has
+    committed to disk."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
 
 
 def latest_step(base_dir: str) -> Optional[int]:

@@ -71,3 +71,37 @@ def test_runner_resume(tmp_path):
     steps2 = sorted(glob.glob(os.path.join(save, "last", "step_*")))
     step2 = int(steps2[-1].split("_")[-1])
     assert step2 == 2 * step1  # continued, not restarted
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """block=False saves commit after wait_for_checkpoints(); back-to-back
+    async saves (validate + 'last' in one epoch) must both land."""
+    import jax
+    import jax.numpy as jnp
+
+    from neural_ode_metasolver_tpu.models.api import build_model
+    from neural_ode_metasolver_tpu.training import (
+        create_train_state,
+        make_optimizer,
+        restore_checkpoint,
+        save_checkpoint,
+        wait_for_checkpoints,
+    )
+    from neural_ode_metasolver_tpu.training.checkpoint import latest_step
+
+    model = build_model("mnist", dim=8)
+    tx = make_optimizer("sgd", 0.1)
+    ts = create_train_state(model, tx, jax.random.key(0))
+    ts2 = ts.replace(step=ts.step + 1)
+
+    save_checkpoint(str(tmp_path / "best"), ts, {"tag": "best"}, block=False)
+    save_checkpoint(str(tmp_path / "last"), ts2, {"tag": "last"}, block=False)
+    wait_for_checkpoints()
+
+    r1, c1 = restore_checkpoint(str(tmp_path / "best"), ts)
+    r2, c2 = restore_checkpoint(str(tmp_path / "last"), ts2)
+    assert c1["tag"] == "best" and c2["tag"] == "last"
+    assert latest_step(str(tmp_path / "last")) == int(ts2.step)
+    eq = jax.tree_util.tree_map(
+        lambda a, b: bool(jnp.array_equal(a, b)), ts.params, r1.params)
+    assert jax.tree_util.tree_all(eq)
