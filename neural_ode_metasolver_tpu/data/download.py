@@ -30,7 +30,7 @@ import urllib.error
 import urllib.request
 from typing import Iterable, List, NamedTuple, Optional, Sequence
 
-__all__ = ["download_dataset", "verify_md5", "DATASETS"]
+__all__ = ["download_dataset", "dataset_present", "verify_md5", "DATASETS"]
 
 
 class RemoteFile(NamedTuple):
@@ -107,7 +107,9 @@ def verify_md5(path: str, md5: str, chunk: int = 1 << 20) -> bool:
     return h.hexdigest() == md5
 
 
-def _fetch(remote: RemoteFile, root: str, quiet: bool = False) -> str:
+def _fetch(
+    remote: RemoteFile, root: str, quiet: bool = False, timeout: float = 30.0
+) -> str:
     dest = os.path.join(root, remote.relpath)
     if verify_md5(dest, remote.md5):
         if not quiet:
@@ -120,7 +122,16 @@ def _fetch(remote: RemoteFile, root: str, quiet: bool = False) -> str:
             if not quiet:
                 print(f"  fetching {url}")
             tmp = dest + ".part"
-            urllib.request.urlretrieve(url, tmp)
+            # urlopen with an explicit socket timeout: a firewalled /
+            # blackholed environment fails in seconds per mirror instead
+            # of hanging in connect (urlretrieve accepts no timeout)
+            with urllib.request.urlopen(url, timeout=timeout) as r, \
+                    open(tmp, "wb") as f:
+                while True:
+                    block = r.read(1 << 20)
+                    if not block:
+                        break
+                    f.write(block)
             if not verify_md5(tmp, remote.md5):
                 errors.append(f"{url}: checksum mismatch")
                 os.remove(tmp)
@@ -165,6 +176,34 @@ def _extract_cifar(archive: str, root: str, quiet: bool = False) -> None:
         print(f"  extracted {len(wanted)} batches -> {batch_dir}")
 
 
+def dataset_present(name: str, root: str) -> bool:
+    """True iff the *reader-level* artifacts already exist under ``root``
+    (the same layouts ``load_mnist`` / ``load_cifar10`` / ``load_svhn``
+    probe) — e.g. pre-extracted batches or uncompressed IDX files that
+    have no source archive to checksum."""
+    if name == "mnist":
+        def pair(prefix):
+            return any(
+                os.path.exists(os.path.join(
+                    root, f"{prefix}-images-idx3-ubyte{ext}"))
+                and os.path.exists(os.path.join(
+                    root, f"{prefix}-labels-idx1-ubyte{ext}"))
+                for ext in ("", ".gz")
+            )
+
+        return pair("train") and pair("t10k")
+    if name == "cifar10":
+        base = os.path.join(root, "cifar-10-batches-py")
+        wanted = [f"data_batch_{i}" for i in range(1, 6)] + ["test_batch"]
+        return all(os.path.exists(os.path.join(base, n)) for n in wanted)
+    if name == "svhn":
+        return all(
+            os.path.exists(os.path.join(root, f"{s}_32x32.mat"))
+            for s in ("train", "test")
+        )
+    return False
+
+
 def download_dataset(
     name: str,
     root: str = "data",
@@ -175,12 +214,18 @@ def download_dataset(
 
     Returns the list of verified artifact paths. Raises ``ValueError`` for
     an unknown dataset and ``RuntimeError`` when fetching fails (offline).
-    Safe to re-run: verified files are skipped.
+    Safe to re-run: verified files are skipped, and a root that already
+    holds the reader-level artifacts (even without the source archives)
+    is accepted as-is.
     """
     if name not in DATASETS:
         raise ValueError(
             f"unknown dataset {name!r}; choose from {sorted(DATASETS)}"
         )
+    if dataset_present(name, root) and not (name == "svhn" and svhn_extra):
+        if not quiet:
+            print(f"{name}: reader artifacts already present under {root}")
+        return []
     files: List[RemoteFile] = list(DATASETS[name])
     if name == "svhn" and svhn_extra:
         files.append(SVHN_EXTRA)

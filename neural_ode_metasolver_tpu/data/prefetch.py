@@ -82,21 +82,24 @@ def _threaded_prefetch(iterator, size, put) -> Iterator[Any]:
     q: queue_mod.Queue = queue_mod.Queue(maxsize=size)
     stop = threading.Event()
 
+    def offer(item) -> bool:
+        """Bounded put that gives up once the consumer abandoned."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
+
     def producer():
         try:
             for item in iterator:
-                out = put(item)
-                while not stop.is_set():
-                    try:
-                        q.put(out, timeout=0.1)
-                        break
-                    except queue_mod.Full:
-                        continue
-                if stop.is_set():
+                if not offer(put(item)):
                     return
-            q.put(_END)
+            offer(_END)
         except BaseException as e:  # propagate to the consumer
-            q.put(e)
+            offer(e)
 
     t = threading.Thread(target=producer, daemon=True, name="prefetch")
     t.start()

@@ -233,21 +233,29 @@ def fit(
             n_batches += 1
         losses = [float(v) for v in jax.device_get(losses)]  # drains the queue
         skipped = float(np.sum(jax.device_get(skipped))) if skipped else 0.0
-        if n_batches:
-            batch_meter.update((time.perf_counter() - t_epoch) / n_batches)
-        logger.info(
-            f"epoch {epoch} | train loss {np.mean(losses):.4f} | "
-            f"batch time {batch_meter.avg:.3f}s"
-            + (f" | skipped_nonfinite {skipped:.0f}" if skipped else "")
-        )
-        if mlog:
-            mlog.log(
-                {"epoch": epoch, "train_loss": float(np.mean(losses)),
-                 "batch_time": batch_meter.avg, **{
-                     k: float(v) for k, v in m.items()},
-                 "epoch_skipped_nonfinite": skipped},
-                step=int(ts.step),
+        if not n_batches:
+            # drop_last batching yields nothing when the dataset is smaller
+            # than the batch size; `m` is undefined and mean([]) is nan —
+            # warn instead of logging garbage / crashing
+            logger.warning(
+                f"epoch {epoch}: no training batches "
+                f"(dataset smaller than batch_size with drop_last?)"
             )
+        else:
+            batch_meter.update((time.perf_counter() - t_epoch) / n_batches)
+            logger.info(
+                f"epoch {epoch} | train loss {np.mean(losses):.4f} | "
+                f"batch time {batch_meter.avg:.3f}s"
+                + (f" | skipped_nonfinite {skipped:.0f}" if skipped else "")
+            )
+            if mlog:
+                mlog.log(
+                    {"epoch": epoch, "train_loss": float(np.mean(losses)),
+                     "batch_time": batch_meter.avg, **{
+                         k: float(v) for k, v in m.items()},
+                     "epoch_skipped_nonfinite": skipped},
+                    step=int(ts.step),
+                )
         key, k_val = jax.random.split(key)
         best = validate(
             model, ts, solvers, args, eval_data_factory, k_val, logger,

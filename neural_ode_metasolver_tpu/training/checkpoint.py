@@ -79,11 +79,18 @@ def wait_for_checkpoints():
 
 
 def latest_step(base_dir: str) -> Optional[int]:
+    """Newest *committed* step: a step dir only counts once its orbax
+    ``state`` dir exists (orbax commits it by atomic rename, so presence
+    means complete). A crash between an async state write and its commit
+    can leave ``step_N/config.json`` without ``state``; such a dir must
+    not shadow the older complete checkpoint for ``--resume``."""
     if not os.path.isdir(base_dir):
         return None
     steps = []
     for name in os.listdir(base_dir):
-        if name.startswith("step_"):
+        if name.startswith("step_") and os.path.isdir(
+            os.path.join(base_dir, name, "state")
+        ):
             try:
                 steps.append(int(name[5:]))
             except ValueError:

@@ -142,3 +142,52 @@ def test_extract_guards_path_traversal(tmp_path):
     _extract_cifar(str(p), str(root), quiet=True)
     assert os.listdir(root / "cifar-10-batches-py") == []
     assert not (tmp_path.parent / "cifar-10-batches-py").exists()
+
+
+def test_dataset_present_short_circuits_fetch(tmp_path, monkeypatch):
+    from neural_ode_metasolver_tpu.data.download import dataset_present
+
+    root = tmp_path / "root"
+    base = root / "cifar-10-batches-py"
+    base.mkdir(parents=True)
+    for n in [f"data_batch_{i}" for i in range(1, 6)] + ["test_batch"]:
+        (base / n).write_bytes(b"x")
+    assert dataset_present("cifar10", str(root))
+    # no mirrors registered at all: fetch would fail, so returning []
+    # proves the reader-layout check short-circuited
+    monkeypatch.setitem(DATASETS, "cifar10", [
+        RemoteFile(((tmp_path / "gone").as_uri(),), "0" * 32, "x.tar.gz")])
+    assert download_dataset("cifar10", str(root), quiet=True) == []
+    # uncompressed MNIST IDX files (no .gz archives) count as present too
+    for p in ("train", "t10k"):
+        (root / f"{p}-images-idx3-ubyte").write_bytes(b"x")
+        (root / f"{p}-labels-idx1-ubyte").write_bytes(b"x")
+    assert dataset_present("mnist", str(root))
+    assert not dataset_present("svhn", str(root))
+
+
+def test_fetch_uses_socket_timeout(tmp_path, monkeypatch):
+    """_fetch must pass an explicit timeout to urlopen so blackholed
+    networks fail fast instead of hanging in connect."""
+    import neural_ode_metasolver_tpu.data.download as dl
+
+    seen = {}
+
+    class _Resp:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def read(self, n):
+            return b""
+
+    def fake_urlopen(url, timeout=None):
+        seen["timeout"] = timeout
+        return _Resp()
+
+    monkeypatch.setattr(dl.urllib.request, "urlopen", fake_urlopen)
+    rf = RemoteFile(("http://example.invalid/f",), _md5(b""), "f.bin")
+    _fetch(rf, str(tmp_path), quiet=True)
+    assert seen["timeout"] is not None and seen["timeout"] > 0

@@ -101,3 +101,23 @@ def test_threaded_prefetch_early_abandon_releases_producer():
         _t.sleep(0.05)
     else:
         raise AssertionError("prefetch producer thread did not exit")
+
+
+def test_threaded_prefetch_releases_producer_blocked_on_end_marker():
+    """Consumer abandons after the iterator is exhausted but while the
+    queue is full: the producer's _END put must honor the stop event."""
+    import threading
+    import time as _t
+
+    items = [np.full(2, i, np.float32) for i in range(4)]
+    it = prefetch_to_device(iter(items), size=1, thread=True)
+    next(it)  # producer now blocked trying to enqueue _END behind item 2+
+    it.close()
+    deadline = _t.time() + 5.0
+    while _t.time() < deadline:
+        if not any(t.is_alive() for t in threading.enumerate()
+                   if t.name == "prefetch"):
+            break
+        _t.sleep(0.05)
+    else:
+        raise AssertionError("producer stuck on _END put after abandon")

@@ -105,3 +105,29 @@ def test_async_checkpoint_roundtrip(tmp_path):
     eq = jax.tree_util.tree_map(
         lambda a, b: bool(jnp.array_equal(a, b)), ts.params, r1.params)
     assert jax.tree_util.tree_all(eq)
+
+
+def test_latest_step_ignores_uncommitted_checkpoint(tmp_path):
+    """A crash between async config.json write and the orbax state commit
+    must not shadow the older complete checkpoint."""
+    import jax
+
+    from neural_ode_metasolver_tpu.models.api import build_model
+    from neural_ode_metasolver_tpu.training import (
+        create_train_state,
+        make_optimizer,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from neural_ode_metasolver_tpu.training.checkpoint import latest_step
+
+    model = build_model("mnist", dim=8)
+    ts = create_train_state(model, make_optimizer("sgd", 0.1),
+                            jax.random.key(0))
+    save_checkpoint(str(tmp_path), ts)  # complete step_00000000
+    torn = tmp_path / "step_00000007"
+    torn.mkdir()
+    (torn / "config.json").write_text("{}")  # config landed, state did not
+    assert latest_step(str(tmp_path)) == 0
+    restored, _ = restore_checkpoint(str(tmp_path), ts)
+    assert int(restored.step) == 0
