@@ -78,9 +78,13 @@ def parse_args(argv=None):
     p.add_argument("--ss_loss_reg", type=float, default=0.1)
     p.add_argument("--data_noise_std", type=float, default=0.0)
     # io
+    p.add_argument("--dataset", type=str, default="mnist",
+                   choices=["mnist", "svhn"],
+                   help="train/eval dataset (svhn = the reference's "
+                        "get_svhn_loaders path: 32x32 RGB cropped digits)")
     p.add_argument("--download", action="store_true",
-                   help="fetch MNIST into --data_root (default data/) if "
-                        "missing — the torchvision download=True analog")
+                   help="fetch the dataset into --data_root (default data/) "
+                        "if missing — the torchvision download=True analog")
     p.add_argument("--data_root", type=str, default=None,
                    help="dir with MNIST IDX files; fallback data if unset")
     p.add_argument("--fallback_dataset", type=str, default="synthetic",
@@ -129,6 +133,13 @@ def main(argv=None):
     )
     logger.info(str(vars(args)))
 
+    if args.dataset == "svhn" and args.in_channels == 1:
+        # SVHN is 32x32 RGB (reference get_svhn_loaders,
+        # odenet_mnist/data.py:39-69); widen the stem unless overridden
+        args.in_channels = 3
+        logger.info("svhn: in_channels -> 3")
+    image_shape = (28, 28, 1) if args.dataset == "mnist" else (32, 32, 3)
+
     solvers = parse_solver_dsl(args.solvers)
     model = build_model(
         "mnist",
@@ -143,21 +154,29 @@ def main(argv=None):
     if getattr(args, "download", False):
         from ..data.download import ensure_dataset
 
-        fetched = ensure_dataset("mnist", args.data_root)
+        fetched = ensure_dataset(args.dataset, args.data_root)
         if fetched:
             args.data_root = fetched
     if args.data_root:
-        train_ds = load_mnist(args.data_root, train=True)
-        test_ds = load_mnist(args.data_root, train=False)
-    elif args.fallback_dataset == "digits":
+        if args.dataset == "svhn":
+            from ..data import load_svhn
+
+            train_ds = load_svhn(args.data_root, split="train")
+            test_ds = load_svhn(args.data_root, split="test")
+        else:
+            train_ds = load_mnist(args.data_root, train=True)
+            test_ds = load_mnist(args.data_root, train=False)
+    elif args.fallback_dataset == "digits" and args.dataset == "mnist":
         from ..data import load_digits_dataset
 
         logger.warning("no --data_root: using sklearn handwritten digits")
         train_ds, test_ds = load_digits_dataset(seed=args.seed)
     else:
         logger.warning("no --data_root: falling back to synthetic data")
-        train_ds = synthetic_dataset(args.synthetic_train_size, (28, 28, 1), seed=args.seed)
-        test_ds = synthetic_dataset(args.synthetic_test_size, (28, 28, 1), seed=args.seed + 1)
+        train_ds = synthetic_dataset(args.synthetic_train_size, image_shape,
+                                     seed=args.seed)
+        test_ds = synthetic_dataset(args.synthetic_test_size, image_shape,
+                                    seed=args.seed + 1)
 
     crop = 4 if args.data_aug else 0
 

@@ -147,3 +147,33 @@ def test_mnist_runner_adjoint_integration(tmp_path):
         "--save_dir", save,
     ])
     assert glob.glob(os.path.join(save, "last", "step_*"))
+
+
+def test_mnist_runner_svhn_dataset(tmp_path):
+    """--dataset svhn: real .mat files through the runner (reference
+    get_svhn_loaders path, odenet_mnist/data.py:39-69); stem widens to 3
+    channels automatically."""
+    import numpy as np
+    from scipy.io import savemat
+
+    rng = np.random.default_rng(0)
+    root = tmp_path / "svhn"
+    root.mkdir()
+    for split, n in [("train", 48), ("test", 32)]:
+        X = rng.integers(0, 255, (32, 32, 3, n), dtype=np.uint8)
+        y = rng.integers(1, 11, (n, 1)).astype(np.uint8)  # svhn 1..10 labels
+        savemat(root / f"{split}_32x32.mat", {"X": X, "y": y})
+
+    save = str(tmp_path / "svhn_exp")
+    mnist_runner.main([
+        "--dataset", "svhn",
+        "--data_root", str(root),
+        "--solvers", "rk2,u,2,-1,0.5,-1",
+        "--nepochs", "1",
+        "--batch_size", "16",
+        "--test_batch_size", "16",
+        "--save_dir", save,
+    ])
+    assert glob.glob(os.path.join(save, "last", "step_*"))
+    log = open(glob.glob(os.path.join(save, "metrics.jsonl"))[0]).read()
+    assert "train_loss" in log
