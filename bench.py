@@ -36,6 +36,27 @@ BATCH = 256
 STEPS = 20
 
 
+def _run_with_retries(fn, attempts=3, backoff_s=60):
+    """The tunneled chip intermittently wedges (FAILED_PRECONDITION /
+    hangs observed mid-round); retry transient backend errors so one
+    flaky window doesn't zero out the round's benchmark."""
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # jax runtime errors don't share one base
+            transient = any(
+                s in repr(e)
+                for s in ("FAILED_PRECONDITION", "UNAVAILABLE",
+                          "DEADLINE_EXCEEDED", "INTERNAL")
+            )
+            if not transient or i == attempts - 1:
+                raise
+            print(f"transient TPU error (attempt {i + 1}/{attempts}): "
+                  f"{repr(e)[:120]}; retrying in {backoff_s}s",
+                  file=sys.stderr)
+            time.sleep(backoff_s)
+
+
 def main():
     from neural_ode_metasolver_tpu.data import CIFAR10_MEAN, CIFAR10_STD
     from neural_ode_metasolver_tpu.models.api import build_model
@@ -54,7 +75,6 @@ def main():
     opts = SolverOptions()
     tx = make_optimizer("sgd", cyclic_lr(1e-7, 0.1, 3186), momentum=0.9,
                         weight_decay=5e-4)
-    ts = create_train_state(model, tx, jax.random.key(0))
     step = make_train_step(
         model, tx, solvers, opts,
         attack_cfg=AttackConfig(mode="fgsm_random", eps=8 / 255,
@@ -70,17 +90,23 @@ def main():
     x = jax.random.normal(jax.random.key(1), (BATCH, 32, 32, 3), jnp.float32)
     y = jax.random.randint(jax.random.key(2), (BATCH,), 0, 10)
 
-    # Warmup / compile (block via an actual host transfer — on the remote
-    # platform block_until_ready alone has proven unreliable for timing)
-    ts, m = step(ts, x, y, jax.random.key(10))
-    float(m["loss"])
+    def timed_window():
+        # Fresh state per attempt: the step donates its TrainState, so a
+        # failed attempt's buffers are unusable on retry
+        ts1 = create_train_state(model, tx, jax.random.key(0))
+        # Warmup / compile (block via an actual host transfer — on the
+        # remote platform block_until_ready alone has proven unreliable)
+        ts1, m = step(ts1, x, y, jax.random.key(10))
+        float(m["loss"])
 
-    t0 = time.perf_counter()
-    for i in range(STEPS):
-        ts, m = step(ts, x, y, jax.random.key(100 + i))
-    float(m["loss"])  # forces the full dependency chain to completion
-    jax.block_until_ready(ts)
-    dt = (time.perf_counter() - t0) / STEPS
+        t0 = time.perf_counter()
+        for i in range(STEPS):
+            ts1, m = step(ts1, x, y, jax.random.key(100 + i))
+        float(m["loss"])  # forces the full dependency chain to completion
+        jax.block_until_ready(ts1)
+        return (time.perf_counter() - t0) / STEPS
+
+    dt = _run_with_retries(timed_window)
     img_per_s = BATCH / dt
 
     base_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
