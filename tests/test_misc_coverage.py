@@ -32,8 +32,11 @@ def test_metrics_logger_jsonl(tmp_path):
 
 def test_latest_step(tmp_path):
     assert latest_step(str(tmp_path / "nope")) is None
-    os.makedirs(tmp_path / "step_00000002")
-    os.makedirs(tmp_path / "step_00000010")
+    os.makedirs(tmp_path / "step_00000002" / "state")
+    os.makedirs(tmp_path / "step_00000010" / "state")
+    assert latest_step(str(tmp_path)) == 10
+    # a torn dir (no committed orbax 'state') must not win
+    os.makedirs(tmp_path / "step_00000099")
     assert latest_step(str(tmp_path)) == 10
 
 
