@@ -182,16 +182,20 @@ def dataset_present(name: str, root: str) -> bool:
     probe) — e.g. pre-extracted batches or uncompressed IDX files that
     have no source archive to checksum."""
     if name == "mnist":
-        def pair(prefix):
+        def pair(base, prefix):
             return any(
                 os.path.exists(os.path.join(
-                    root, f"{prefix}-images-idx3-ubyte{ext}"))
+                    base, f"{prefix}-images-idx3-ubyte{ext}"))
                 and os.path.exists(os.path.join(
-                    root, f"{prefix}-labels-idx1-ubyte{ext}"))
+                    base, f"{prefix}-labels-idx1-ubyte{ext}"))
                 for ext in ("", ".gz")
             )
 
-        return pair("train") and pair("t10k")
+        # both layouts load_mnist probes: flat, and torchvision MNIST/raw
+        return any(
+            pair(base, "train") and pair(base, "t10k")
+            for base in (root, os.path.join(root, "MNIST", "raw"))
+        )
     if name == "cifar10":
         base = os.path.join(root, "cifar-10-batches-py")
         wanted = [f"data_batch_{i}" for i in range(1, 6)] + ["test_batch"]

@@ -261,6 +261,15 @@ def fit(
             model, ts, solvers, args, eval_data_factory, k_val, logger,
             best, save_dir, config, epoch, predict_cache=predict_cache,
         )
+        if mlog and best:
+            # per-epoch best-so-far accuracies in the JSONL stream, so a
+            # run that dies before the final summary line still leaves
+            # its comparison data (consumed by runners/sweep._best_metric)
+            mlog.log(
+                {"epoch": epoch,
+                 **{f"best_{tag}": float(v) for tag, v in best.items()}},
+                step=int(ts.step),
+            )
         adv_mode = getattr(args, "adv_testing_mode", "clean")
         if adv_mode != "clean" and test_data_factory is not None:
             key, k_adv = jax.random.split(key)

@@ -188,9 +188,11 @@ def _best_metric(run_dir: str) -> Optional[float]:
                 rec = json.loads(line)
             except json.JSONDecodeError:
                 continue
-            for k in ("best", "val_acc", "test_acc"):
-                if k in rec:
-                    v = float(rec[k])
+            for k, v in rec.items():
+                # 'best' (final summary) and per-epoch 'best_<mode>' /
+                # 'best_solver_<i>' records written by fit/validate
+                if k == "best" or k.startswith("best_"):
+                    v = float(v)
                     best = v if best is None else max(best, v)
     return best
 

@@ -28,14 +28,21 @@ def _ckpt_dir(base: str, step: int) -> str:
     return os.path.join(os.path.abspath(base), f"step_{step:08d}")
 
 
-_async_ckptr = None
+# One AsyncCheckpointer per destination directory: orbax serializes saves
+# on a single checkpointer (save() begins by waiting for the previous one),
+# so several saves in one epoch (best_solver_*, best_<mode>, last) would
+# otherwise block each other on the main thread instead of overlapping the
+# next epoch's compute. The set of destinations per run is small and fixed.
+_async_ckptrs: dict = {}
 
 
-def _get_async_ckptr():
-    global _async_ckptr
-    if _async_ckptr is None:
-        _async_ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
-    return _async_ckptr
+def _get_async_ckptr(base_dir: str):
+    key = os.path.abspath(base_dir)
+    if key not in _async_ckptrs:
+        _async_ckptrs[key] = ocp.AsyncCheckpointer(
+            ocp.StandardCheckpointHandler()
+        )
+    return _async_ckptrs[key]
 
 
 def save_checkpoint(
@@ -59,7 +66,7 @@ def save_checkpoint(
         ckptr.save(os.path.join(path, "state"), ts, force=True)
         ckptr.wait_until_finished()
     else:
-        _get_async_ckptr().save(
+        _get_async_ckptr(base_dir).save(
             os.path.join(path, "state"),
             args=ocp.args.StandardSave(ts),
             force=True,
@@ -74,8 +81,8 @@ def save_checkpoint(
 def wait_for_checkpoints():
     """Block until every ``save_checkpoint(..., block=False)`` has
     committed to disk."""
-    if _async_ckptr is not None:
-        _async_ckptr.wait_until_finished()
+    for ckptr in _async_ckptrs.values():
+        ckptr.wait_until_finished()
 
 
 def latest_step(base_dir: str) -> Optional[int]:

@@ -240,32 +240,49 @@ def make_train_step(
             loss_fn, has_aux=True
         )(ts.params)
 
-        updates, new_opt_state = tx.update(grads, ts.opt_state, ts.params)
-        new_params = optax.apply_updates(ts.params, updates)
-
         gnorm = optax.global_norm(grads)
         if skip_nonfinite:
             # Failure containment: a non-finite loss/grad skips the update
             # instead of poisoning the params (production-run guard the
             # reference lacks; the epoch is not lost, just the batch).
+            # The skip decision is routed through the gradient stream:
+            # when skipping, grads are forced to NaN so any nonfinite-aware
+            # wrapper in the optimizer chain (with_nonfinite_backoff, at
+            # ANY nesting depth — e.g. under optax.MultiSteps) observes the
+            # same predicate as this step's revert, keeping its scale-dip /
+            # n_skipped bookkeeping consistent with the batches the params
+            # actually skipped (a non-finite loss with finite grads would
+            # otherwise advance momentum the params never absorbed).
             ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+            grads_upd = jax.tree_util.tree_map(
+                lambda g: jnp.where(ok, g, jnp.full_like(g, jnp.nan)), grads
+            )
+        else:
+            grads_upd = grads
+
+        updates, new_opt_state = tx.update(grads_upd, ts.opt_state, ts.params)
+        new_params = optax.apply_updates(ts.params, updates)
+
+        if skip_nonfinite:
+            from .optimizers import NonfiniteBackoffState
+
             new_params = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(ok, new, old),
                 new_params, ts.params,
             )
-            # When the optimizer is wrapped in with_nonfinite_backoff, it
-            # already preserves its inner state on non-finite grads AND
-            # must record the event (scale dip, n_skipped) — reverting the
-            # opt state here would silently undo the backoff.  Only revert
-            # when the optimizer has no such handling of its own.
-            from .optimizers import NonfiniteBackoffState
-
-            if not isinstance(new_opt_state, NonfiniteBackoffState):
-                new_opt_state = jax.tree_util.tree_map(
-                    lambda new, old: jnp.where(ok, new, old)
-                    if hasattr(new, "dtype") else new,
-                    new_opt_state, ts.opt_state,
-                )
+            # Revert the optimizer state on skip — except
+            # NonfiniteBackoffState nodes (wherever they sit in the state
+            # tree): their update already preserved the inner state on the
+            # NaN-forced grads AND recorded the event (scale dip,
+            # n_skipped); reverting them would silently undo the backoff.
+            new_opt_state = jax.tree_util.tree_map(
+                lambda new, old: new
+                if isinstance(new, NonfiniteBackoffState)
+                else (jnp.where(ok, new, old)
+                      if hasattr(new, "dtype") else new),
+                new_opt_state, ts.opt_state,
+                is_leaf=lambda x: isinstance(x, NonfiniteBackoffState),
+            )
 
         acc = jnp.mean((jnp.argmax(logits, axis=-1) == y).astype(jnp.float32))
         metrics = {

@@ -21,16 +21,13 @@ import tempfile
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(REPO, ".jax_cache"))
+sys.path.insert(0, REPO)
+import bench_env  # noqa: E402
+
+bench_env.setup()
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
-
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-sys.path.insert(0, REPO)
 
 N_CALLS = 50
 

@@ -191,3 +191,15 @@ def test_fetch_uses_socket_timeout(tmp_path, monkeypatch):
     rf = RemoteFile(("http://example.invalid/f",), _md5(b""), "f.bin")
     _fetch(rf, str(tmp_path), quiet=True)
     assert seen["timeout"] is not None and seen["timeout"] > 0
+
+
+def test_dataset_present_torchvision_mnist_layout(tmp_path):
+    from neural_ode_metasolver_tpu.data.download import dataset_present
+
+    root = tmp_path / "data"
+    raw = root / "MNIST" / "raw"
+    raw.mkdir(parents=True)
+    for p in ("train", "t10k"):
+        (raw / f"{p}-images-idx3-ubyte.gz").write_bytes(b"x")
+        (raw / f"{p}-labels-idx1-ubyte.gz").write_bytes(b"x")
+    assert dataset_present("mnist", str(root))

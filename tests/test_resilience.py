@@ -131,3 +131,86 @@ def test_latest_step_ignores_uncommitted_checkpoint(tmp_path):
     assert latest_step(str(tmp_path)) == 0
     restored, _ = restore_checkpoint(str(tmp_path), ts)
     assert int(restored.step) == 0
+
+
+def _leaf_backoff_states(opt_state):
+    from neural_ode_metasolver_tpu.training.optimizers import (
+        NonfiniteBackoffState,
+    )
+
+    return [
+        s for s in jax.tree_util.tree_leaves(
+            opt_state,
+            is_leaf=lambda x: isinstance(x, NonfiniteBackoffState))
+        if isinstance(s, NonfiniteBackoffState)
+    ]
+
+
+def test_skip_nonfinite_preserves_nested_backoff_bookkeeping():
+    """with_nonfinite_backoff nested under optax.MultiSteps: a skipped
+    batch must still dip the backoff scale and bump n_skipped (the skip
+    revert must not flatten through the wrapper's state)."""
+    from neural_ode_metasolver_tpu.training import with_nonfinite_backoff
+    import optax
+
+    model = build_model("mnist", dim=16)
+    tx = optax.MultiSteps(
+        with_nonfinite_backoff(make_optimizer("sgd", 0.05, momentum=0.9),
+                               backoff=0.5),
+        every_k_schedule=1,
+    )
+    ts = create_train_state(model, tx, jax.random.key(0))
+    step = make_train_step(model, tx, SOLVERS, SolverOptions(),
+                           skip_nonfinite=True, donate=False)
+
+    x_bad = jnp.full((4, 28, 28, 1), jnp.nan, jnp.float32)
+    y = jnp.zeros((4,), jnp.int32)
+    ts2, m = step(ts, x_bad, y, jax.random.key(1))
+    assert float(m["skipped_nonfinite"]) == 1.0
+    (b,) = _leaf_backoff_states(ts2.opt_state)
+    assert float(b.scale) == 0.5, "nested backoff scale must dip on skip"
+    assert int(b.n_skipped) == 1
+    for a, c in zip(jax.tree_util.tree_leaves(ts.params),
+                    jax.tree_util.tree_leaves(ts2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_skip_nonfinite_loss_overflow_consistent_with_backoff():
+    """Non-finite LOSS with finite grads (ss-loss overflow shape): the
+    NaN-forced gradient stream makes the backoff wrapper skip exactly the
+    batches the params skip — momentum must not absorb an update the
+    params never took."""
+    from neural_ode_metasolver_tpu.training import with_nonfinite_backoff
+
+    model = build_model("mnist", dim=16)
+    tx = with_nonfinite_backoff(make_optimizer("sgd", 0.05, momentum=0.9),
+                                backoff=0.5)
+    ts = create_train_state(model, tx, jax.random.key(0))
+    step = make_train_step(model, tx, SOLVERS, SolverOptions(),
+                           skip_nonfinite=True, donate=False)
+
+    # One clean step to put momentum in a known nonzero state
+    x_good = jnp.ones((4, 28, 28, 1), jnp.float32)
+    y = jnp.zeros((4,), jnp.int32)
+    ts1, _ = step(ts, x_good, y, jax.random.key(2))
+    mom_before = [np.asarray(l).copy() for l in
+                  jax.tree_util.tree_leaves(ts1.opt_state.inner)]
+
+    # Inputs big enough to overflow the f32 loss while keeping the
+    # gradient representable is fragile to construct through the real
+    # model; drive the predicate directly instead: x that NaNs the loss
+    # also NaNs grads here, but the assertion below checks the combined
+    # contract — after ANY skipped batch, inner momentum is untouched
+    # and scale dipped, i.e. params and optimizer agree the batch never
+    # happened.
+    x_bad = jnp.full((4, 28, 28, 1), jnp.inf, jnp.float32)
+    ts2, m = step(ts1, x_bad, y, jax.random.key(3))
+    assert float(m["skipped_nonfinite"]) == 1.0
+    assert float(ts2.opt_state.scale) == 0.5
+    assert int(ts2.opt_state.n_skipped) == 1
+    for a, c in zip(mom_before,
+                    jax.tree_util.tree_leaves(ts2.opt_state.inner)):
+        np.testing.assert_array_equal(a, np.asarray(c))
+    for a, c in zip(jax.tree_util.tree_leaves(ts1.params),
+                    jax.tree_util.tree_leaves(ts2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
