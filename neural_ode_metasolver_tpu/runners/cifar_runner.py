@@ -146,6 +146,10 @@ def parse_args(argv=None):
                    choices=["f32", "bf16"],
                    help="compute precision (bf16 = mixed precision, the "
                         "apex-O1 analog; master params stay f32)")
+    p.add_argument("--mesh", type=str, default=None,
+                   help="multi-chip training: axis spec like 'data=8' or "
+                        "'data=4,model=2' (tp) or 'data=2,sp=2' (spatial); "
+                        "shards the jitted step over a jax.sharding.Mesh")
     p.add_argument("--prefetch", type=int, default=2,
                    help="batches to device_put ahead of the train step "
                         "(0 disables; overlaps upload with compute)")

@@ -40,7 +40,27 @@ from ..training import (
     wait_for_checkpoints,
 )
 
-__all__ = ["fit", "validate", "build_solver_options"]
+__all__ = ["fit", "validate", "build_solver_options", "parse_mesh_spec"]
+
+
+def parse_mesh_spec(spec: Optional[str]) -> Optional[dict]:
+    """Parse ``--mesh`` strings like ``"data=8"`` / ``"data=4,model=2"`` /
+    ``"data=2,sp=2"`` into an axis-size dict (None/empty -> None).
+    ``data`` is required; ``-1`` sizes mean "all remaining devices"
+    (resolved by ``parallel.make_mesh``)."""
+    if not spec:
+        return None
+    axes = {}
+    for part in spec.split(","):
+        name, _, size = part.partition("=")
+        name = name.strip()
+        if not name or not size:
+            raise ValueError(
+                f"bad --mesh entry {part!r}; expected axis=size")
+        axes[name] = int(size)
+    if "data" not in axes:
+        raise ValueError(f"--mesh must include a data axis, got {spec!r}")
+    return axes
 
 
 def build_solver_options(args) -> SolverOptions:
@@ -188,13 +208,46 @@ def fit(
     compute_dtype = (
         jnp.bfloat16 if getattr(args, "precision", "f32") == "bf16" else None
     )
+    mesh_spec = parse_mesh_spec(getattr(args, "mesh", None))
     step = make_train_step(
         model, tx, solvers, solver_options, attack_cfg, noise_cfg, loss_cfg,
         compute_dtype=compute_dtype,
         skip_nonfinite=getattr(args, "skip_nonfinite", False),
         unroll=getattr(args, "unroll", 1),
         integration_method=getattr(args, "integration_method", "backprop"),
+        # the mesh path re-jits with explicit shardings below
+        jit_compile=mesh_spec is None,
+        donate=mesh_spec is None,
     )
+    batch_sh = None
+    if mesh_spec:
+        from ..parallel import (
+            batch_sharding,
+            make_mesh,
+            make_parallel_train_step,
+        )
+
+        sizes = list(mesh_spec.values())
+        devices = None
+        if -1 not in sizes:
+            want = int(np.prod(sizes))
+            if want < len(jax.devices()):
+                # an explicit spec smaller than the host takes a device
+                # prefix (e.g. --mesh data=4 on an 8-device pod slice)
+                devices = jax.devices()[:want]
+        mesh = make_mesh(mesh_spec, devices)
+        logger.info(f"mesh: {dict(mesh.shape)} over {mesh.size} devices")
+        if getattr(args, "batch_size", 0) % mesh.shape["data"]:
+            raise ValueError(
+                f"batch_size {args.batch_size} must divide the data axis "
+                f"({mesh.shape['data']})"
+            )
+        step = make_parallel_train_step(
+            step, mesh, ts, data_axis="data",
+            model_axis="model" if "model" in mesh_spec else None,
+            spatial_axis="sp" if "sp" in mesh_spec else None,
+        )
+        batch_sh = batch_sharding(mesh)
     config = dict(config or {})
     save_dir = getattr(args, "save_dir", None)
     logger.info(
@@ -218,8 +271,10 @@ def fit(
         batches = train_data_factory(epoch)
         if prefetch:
             # threaded producer: numpy augmentation + upload dispatch run
-            # off-thread, overlapping the previous step's device compute
-            batches = prefetch_to_device(batches, size=prefetch, thread=True)
+            # off-thread, overlapping the previous step's device compute;
+            # under --mesh, batches land already data-sharded over it
+            batches = prefetch_to_device(batches, size=prefetch,
+                                         sharding=batch_sh, thread=True)
         losses = []
         skipped = []
         n_batches = 0

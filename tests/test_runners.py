@@ -177,3 +177,58 @@ def test_mnist_runner_svhn_dataset(tmp_path):
     assert glob.glob(os.path.join(save, "last", "step_*"))
     log = open(glob.glob(os.path.join(save, "metrics.jsonl"))[0]).read()
     assert "train_loss" in log
+
+
+def test_mnist_runner_mesh_dp(tmp_path):
+    """--mesh data=4: the CLI trains with the step sharded over a 4-device
+    data axis of the virtual mesh; losses finite, checkpoints written."""
+    import json
+
+    save = str(tmp_path / "mesh_exp")
+    mnist_runner.main([
+        "--solvers", "rk2,u,2,-1,0.5,-1",
+        "--nepochs", "1",
+        "--batch_size", "16",
+        "--test_batch_size", "16",
+        "--synthetic_train_size", "48",
+        "--synthetic_test_size", "32",
+        "--mesh", "data=4",
+        "--save_dir", save,
+    ])
+    assert glob.glob(os.path.join(save, "last", "step_*"))
+    recs = [json.loads(l)
+            for l in open(os.path.join(save, "metrics.jsonl"))]
+    losses = [r["train_loss"] for r in recs if "train_loss" in r]
+    assert losses and all(l == l for l in losses)  # finite
+
+
+def test_cifar_runner_mesh_tp(tmp_path):
+    """--mesh data=4,model=2 on the CIFAR runner: dp x tp sharded training
+    through the CLI (in_planes divisible by the model axis)."""
+    save = str(tmp_path / "mesh_tp_exp")
+    cifar_runner.main([
+        "--network", "premetanode10",
+        "--in_planes", "16",
+        "--solvers", "rk2,u,2,-1,0.5,-1",
+        "--nepochs", "1",
+        "--batch_size", "8",
+        "--test_batch_size", "8",
+        "--val_perc", "0.25",
+        "--synthetic_train_size", "32",
+        "--synthetic_test_size", "16",
+        "--mesh", "data=4,model=2",
+        "--save_dir", save,
+    ])
+    assert glob.glob(os.path.join(save, "last", "step_*"))
+
+
+def test_parse_mesh_spec_errors():
+    from neural_ode_metasolver_tpu.runners.common import parse_mesh_spec
+
+    assert parse_mesh_spec(None) is None
+    assert parse_mesh_spec("data=4,model=2") == {"data": 4, "model": 2}
+    import pytest
+    with pytest.raises(ValueError, match="data axis"):
+        parse_mesh_spec("model=2")
+    with pytest.raises(ValueError, match="axis=size"):
+        parse_mesh_spec("data")
