@@ -207,6 +207,10 @@ def main(argv=None):
 
     config = {"args": vars(args), "solvers": args.solvers, "model": "mnist"}
     if args.train_solver_params:
+        if getattr(args, "mesh", None):
+            raise ValueError(
+                "--mesh is not supported with --train_solver_params "
+                "(the joint solver-parameter loop is single-device)")
         _fit_with_trainable_solvers(model, solvers, tx, args, logger,
                                     train_data, eval_data, config)
     else:
