@@ -297,16 +297,20 @@ def fit(
                 f"(dataset smaller than batch_size with drop_last?)"
             )
         else:
-            batch_meter.update((time.perf_counter() - t_epoch) / n_batches)
+            # raw per-epoch average — the meter only sees one sample per
+            # epoch now, so its 0.99-EMA would stay pinned to epoch 0's
+            # compile time for the whole run
+            epoch_bt = (time.perf_counter() - t_epoch) / n_batches
+            batch_meter.update(epoch_bt)
             logger.info(
                 f"epoch {epoch} | train loss {np.mean(losses):.4f} | "
-                f"batch time {batch_meter.avg:.3f}s"
+                f"batch time {epoch_bt:.3f}s"
                 + (f" | skipped_nonfinite {skipped:.0f}" if skipped else "")
             )
             if mlog:
                 mlog.log(
                     {"epoch": epoch, "train_loss": float(np.mean(losses)),
-                     "batch_time": batch_meter.avg, **{
+                     "batch_time": epoch_bt, **{
                          k: float(v) for k, v in m.items()},
                      "epoch_skipped_nonfinite": skipped},
                     step=int(ts.step),
