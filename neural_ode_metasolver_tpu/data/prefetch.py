@@ -40,7 +40,11 @@ def prefetch_to_device(
 
     ``device``/``sharding``: optional placement target forwarded to
     ``jax.device_put`` (a ``Sharding`` distributes the batch over a mesh —
-    use ``NamedSharding(mesh, P('data', ...))`` for dp training).
+    use ``NamedSharding(mesh, P('data', ...))`` for dp training). A single
+    ``Sharding`` applies to every leaf; a pytree of shardings matching the
+    item structure places each leaf individually (e.g. ``(x_sh, y_sh)``
+    when the input and label shardings differ, as under spatial
+    partitioning).
 
     ``thread=True`` additionally runs the *producer* (the host-side
     iterator — e.g. numpy crop/flip augmentation — plus the device_put
@@ -52,8 +56,15 @@ def prefetch_to_device(
     if size < 1:
         raise ValueError(f"prefetch size must be >= 1, got {size}")
     target = sharding if sharding is not None else device
+    per_leaf = sharding is not None and not isinstance(
+        sharding, jax.sharding.Sharding
+    )
 
     def put(item):
+        if per_leaf:
+            return jax.tree_util.tree_map(
+                lambda a, s: jax.device_put(a, s), item, target
+            )
         return jax.tree_util.tree_map(
             lambda a: jax.device_put(a, target), item
         )

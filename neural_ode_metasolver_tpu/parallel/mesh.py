@@ -199,6 +199,7 @@ def make_parallel_train_step(
     data_axis: str = "data",
     model_axis: Optional[str] = None,
     spatial_axis: Optional[str] = None,
+    donate: bool = False,
 ):
     """Wrap a ``step(ts, x, y, key) -> (ts, metrics)`` into a mesh-sharded jit.
 
@@ -210,6 +211,11 @@ def make_parallel_train_step(
     batch is already 1 and activations still don't fit).  The returned
     callable also returns sharded outputs so successive steps stay resident
     with no host round-trips.
+
+    ``donate=True`` donates the TrainState argument (halves the
+    train-state HBM footprint — important in exactly the too-big-to-fit
+    regime sharding targets); leave False when the SAME state object is
+    passed to multiple step calls (as the dryrun does).
     """
     if model_axis is not None:
         param_sh = shard_params_tp(ts_template.params, mesh, model_axis)
@@ -242,4 +248,5 @@ def make_parallel_train_step(
         step_fn,
         in_shardings=(ts_sh, x_sh, y_sh, key_sh),
         out_shardings=(ts_sh, metrics_sh),
+        donate_argnums=(0,) if donate else (),
     )

@@ -29,7 +29,6 @@ from ..training import (
     AttackConfig,
     LossConfig,
     NoiseConfig,
-    RunningAverageMeter,
     TrainState,
     accuracy,
     adversarial_accuracy,
@@ -51,13 +50,24 @@ def parse_mesh_spec(spec: Optional[str]) -> Optional[dict]:
     if not spec:
         return None
     axes = {}
+    known = ("data", "model", "sp")
     for part in spec.split(","):
         name, _, size = part.partition("=")
         name = name.strip()
         if not name or not size:
             raise ValueError(
                 f"bad --mesh entry {part!r}; expected axis=size")
-        axes[name] = int(size)
+        if name not in known:
+            # an unrecognized axis would silently replicate over its
+            # devices (only these names are wired into the sharded step)
+            raise ValueError(
+                f"unknown mesh axis {name!r}; supported: {known}")
+        n = int(size)
+        if n < 1 and n != -1:
+            raise ValueError(
+                f"mesh axis {name!r} size must be >= 1 (or -1 for "
+                f"'all remaining devices'), got {n}")
+        axes[name] = n
     if "data" not in axes:
         raise ValueError(f"--mesh must include a data axis, got {spec!r}")
     return axes
@@ -239,15 +249,25 @@ def fit(
         logger.info(f"mesh: {dict(mesh.shape)} over {mesh.size} devices")
         if getattr(args, "batch_size", 0) % mesh.shape["data"]:
             raise ValueError(
-                f"batch_size {args.batch_size} must divide the data axis "
-                f"({mesh.shape['data']})"
+                f"batch_size {args.batch_size} must be divisible by the "
+                f"data axis size ({mesh.shape['data']})"
             )
         step = make_parallel_train_step(
             step, mesh, ts, data_axis="data",
             model_axis="model" if "model" in mesh_spec else None,
             spatial_axis="sp" if "sp" in mesh_spec else None,
+            donate=True,
         )
-        batch_sh = batch_sharding(mesh)
+        # prefetch placement must match the step's in_shardings exactly
+        # (jit rejects committed args with a different sharding); under
+        # sp the input x is P('data','sp') while labels stay P('data')
+        if "sp" in mesh_spec:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch_sh = (NamedSharding(mesh, P("data", "sp")),
+                        batch_sharding(mesh))
+        else:
+            batch_sh = batch_sharding(mesh)
     config = dict(config or {})
     save_dir = getattr(args, "save_dir", None)
     logger.info(
@@ -257,7 +277,6 @@ def fit(
 
     best: dict = {}
     predict_cache: dict = {}
-    batch_meter = RunningAverageMeter()
     from ..data.prefetch import prefetch_to_device
     from ..training.logging import MetricsLogger
 
@@ -301,7 +320,6 @@ def fit(
             # epoch now, so its 0.99-EMA would stay pinned to epoch 0's
             # compile time for the whole run
             epoch_bt = (time.perf_counter() - t_epoch) / n_batches
-            batch_meter.update(epoch_bt)
             logger.info(
                 f"epoch {epoch} | train loss {np.mean(losses):.4f} | "
                 f"batch time {epoch_bt:.3f}s"

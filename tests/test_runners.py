@@ -232,3 +232,26 @@ def test_parse_mesh_spec_errors():
         parse_mesh_spec("model=2")
     with pytest.raises(ValueError, match="axis=size"):
         parse_mesh_spec("data")
+    with pytest.raises(ValueError, match="unknown mesh axis"):
+        parse_mesh_spec("data=4,modle=2")
+    with pytest.raises(ValueError, match="size must be >= 1"):
+        parse_mesh_spec("data=0")
+    assert parse_mesh_spec("data=-1,model=2") == {"data": -1, "model": 2}
+
+
+def test_mnist_runner_mesh_sp_with_prefetch(tmp_path):
+    """--mesh data=2,sp=2 with default prefetch: batches land as
+    P('data','sp')/P('data') matching the step's in_shardings (the
+    single-sharding placement used to crash jit's committed-arg check)."""
+    save = str(tmp_path / "mesh_sp_exp")
+    mnist_runner.main([
+        "--solvers", "rk2,u,2,-1,0.5,-1",
+        "--nepochs", "1",
+        "--batch_size", "8",
+        "--test_batch_size", "8",
+        "--synthetic_train_size", "24",
+        "--synthetic_test_size", "16",
+        "--mesh", "data=2,sp=2",
+        "--save_dir", save,
+    ])
+    assert glob.glob(os.path.join(save, "last", "step_*"))
