@@ -97,7 +97,9 @@ def fgsm(
 
     grad = jax.grad(loss_fn)(x01)
     x_adv = jnp.clip(x01 + eps * jnp.sign(grad), 0.0, 1.0)
-    return normalize(x_adv, mean, std), y
+    # detach (fgsm.py:40): composing the attack inside a differentiated
+    # loss must not build double-backward through the inner input-grad
+    return lax.stop_gradient(normalize(x_adv, mean, std)), y
 
 
 def fgsm_random(
@@ -205,4 +207,6 @@ def fgsm2ensemble(
 
     grad = jax.grad(loss_fn)(x01)
     x_adv = jnp.clip(x01 + eps * jnp.sign(grad), 0.0, 1.0)
-    return normalize(x_adv, mean, std), y
+    # detach (fgsm.py:40): composing the attack inside a differentiated
+    # loss must not build double-backward through the inner input-grad
+    return lax.stop_gradient(normalize(x_adv, mean, std)), y

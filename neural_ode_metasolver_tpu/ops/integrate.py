@@ -56,15 +56,47 @@ def make_time_grid(
     if (n_steps is None) == (step_size is None):
         raise ValueError("exactly one of n_steps / step_size must be given")
     if n_steps is not None:
+        # traced endpoints are fine here: the grid SIZE is static (n_steps)
+        # and linspace handles array t0/t1, so this path works under jit
         return jnp.linspace(t0, t1, int(n_steps) + 1, dtype=dtype)
     import math
 
+    try:
+        t0, t1 = float(t0), float(t1)
+    except (TypeError, jax.errors.TracerArrayConversionError) as e:
+        raise ValueError(
+            "step_size grids need concrete t0/t1 (the number of grid "
+            "points depends on their values, which jit cannot trace); "
+            "use n_steps or a precomputed time_grid inside jit"
+        ) from e
     n_points = int(math.ceil((t1 - t0) / step_size + 1))
     grid = jnp.arange(n_points, dtype=dtype) * step_size + t0
     # Clamp the final point to t1 (rk_parametric.py:31-32).
     return jnp.where(
         jnp.arange(n_points) == n_points - 1, jnp.minimum(grid, t1), grid
     ).astype(dtype)
+
+
+def _check_grid_spans(time_grid, t) -> None:
+    """Eager guard against silent linear EXTRApolation: requested times
+    must lie inside an explicitly-given grid (the reference asserts
+    grid[0]==t[0] and grid[-1]==t[-1], rk_parametric.py:94-95). Skipped
+    for traced values — jit cannot branch on them."""
+    if isinstance(time_grid, jax.core.Tracer) or isinstance(
+        t, jax.core.Tracer
+    ):
+        return
+    try:
+        lo, hi = float(time_grid[0]), float(time_grid[-1])
+        t_lo, t_hi = float(jnp.min(t)), float(jnp.max(t))
+    except (TypeError, jax.errors.TracerArrayConversionError):
+        return
+    if t_lo < lo or t_hi > hi:
+        raise ValueError(
+            f"requested times [{t_lo}, {t_hi}] fall outside the "
+            f"integration grid [{lo}, {hi}]; interpolation would "
+            f"silently extrapolate"
+        )
 
 
 def _tree_axpy(coeff, x, y):
@@ -211,10 +243,15 @@ def odeint(
         if n_steps is None and step_size is None:
             time_grid = t
         else:
+            # t[0]/t[-1] pass through unconverted so traced output times
+            # work under jit (n_steps keeps the grid shape static)
             time_grid = make_time_grid(
-                float(t[0]), float(t[-1]),
+                t[0], t[-1],
                 n_steps=n_steps, step_size=step_size, dtype=t.dtype,
             )
+    else:
+        time_grid = jnp.asarray(time_grid, t.dtype)
+        _check_grid_spans(time_grid, t)
     ys = odeint_grid(tableau, rhs, y0, time_grid, remat=remat, unroll=unroll)
 
     # Vectorized linear interpolation of each requested time onto the grid

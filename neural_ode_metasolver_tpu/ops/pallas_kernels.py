@@ -126,9 +126,19 @@ def fused_group_norm_act(
 ):
     """GroupNorm + activation, fused in one Pallas pass on TPU.
 
+    ``C % num_groups`` must be 0 (as torch requires); checked eagerly —
+    the padded indicator-matrix formulation would otherwise silently
+    mis-normalize the trailing channels instead of erroring.
+
     Args mirror torch ``nn.GroupNorm(num_groups, C)`` followed by ``act``
     (None | 'relu' | 'gelu' | 'tanh' | 'softsign').  NHWC input.
     """
+    c = x.shape[-1]
+    if c % num_groups:
+        raise ValueError(
+            f"channels ({c}) must be divisible by num_groups "
+            f"({num_groups})"
+        )
     return _gn_act_fwd_pallas(x, scale, bias, num_groups, eps, act, interpret)
 
 

@@ -59,8 +59,6 @@ def _integrate_one(solver: ParametricSolver, rhs, y0, t0, t1, remat, unroll,
             )
         grid = solver.time_grid(t0, t1)
         if grid is None:
-            import jax.numpy as jnp
-
             grid = jnp.asarray([t0, t1], jnp.float32)
         return odeint_final_adjoint(
             solver.tableau(), rhs_with_params, rhs_params, y0, grid,
@@ -107,7 +105,11 @@ def meta_integrate(
     adj = dict(adjoint=adjoint, rhs_params=rhs_params,
                rhs_with_params=rhs_with_params)
 
-    if mode == "standalone" or n == 1:
+    if mode == "standalone":
+        # n == 1 must NOT shortcut the other modes: a single-member
+        # ensemble still applies its weight after the coin flip and a
+        # single-solver switch still records switch_solver_id (reference
+        # layers.py:22-48 takes the regime path regardless of len(solvers))
         y = _integrate_one(solvers[0], rhs, y0, t0, t1, remat, unroll, **adj)
 
     elif mode == "switch":
@@ -154,8 +156,5 @@ def meta_integrate(
 
         y = lax.cond(coin, all_members, first_member, y0)
         aux["ensemble_coin_flip"] = coin
-
-    else:
-        raise ValueError(f"unknown solver_mode {mode!r}")
 
     return y, aux

@@ -195,3 +195,30 @@ def test_attack_composes_inside_jitted_train_grad():
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(v)).all() for v in leaves)
     assert any(float(jnp.abs(v).sum()) > 0 for v in leaves)
+
+
+def test_fgsm_output_is_detached():
+    """fgsm/fgsm2ensemble must stop_gradient their output (reference
+    .detach(), fgsm.py:40) so composing them inside a differentiated loss
+    cannot build double-backward through the inner input-grad."""
+    w = jnp.array([[1.0, -1.0], [0.5, 2.0]])
+    x = jnp.array([0.3, 0.7]).reshape(1, 1, 1, 2)  # NHWC toy image
+    y = jnp.array([1])
+
+    def outer(w):
+        fwd = lambda xi: xi.reshape(xi.shape[0], -1) @ w
+        xa, _ = fgsm(fwd, x, y, eps=0.1)
+        xb, _ = fgsm2ensemble([fwd], x, y, eps=0.1)
+        return (cross_entropy(fwd(xa), y) + cross_entropy(fwd(xb), y),
+                (xa, xb))
+
+    (loss, (xa, xb)), g = jax.value_and_grad(outer, has_aux=True)(w)
+    # gradient exists and is finite; xa/xb carry no grad path of their own
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert np.all(np.isfinite(np.asarray(loss)))
+    flat = lambda a: a.reshape(a.shape[0], -1)
+    ref = jax.grad(
+        lambda w: cross_entropy(flat(jax.lax.stop_gradient(xa)) @ w, y)
+        + cross_entropy(flat(jax.lax.stop_gradient(xb)) @ w, y)
+    )(w)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(ref), rtol=1e-5)

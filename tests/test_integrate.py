@@ -219,3 +219,33 @@ def test_solver_custom_grid():
     traj = s.integrate(linear_rhs, y0, jnp.asarray([0.0, 1.0]))
     np.testing.assert_allclose(np.asarray(traj[-1]), np.asarray(yf),
                                atol=1e-7)
+
+
+def test_odeint_with_traced_output_times_under_jit():
+    """n_steps grids must work when the requested times are traced
+    arguments (the float(t[0]) conversion used to raise under jit)."""
+    import jax
+
+    from neural_ode_metasolver_tpu.ops import create_solver
+
+    solver = create_solver("rk2", "u", n_steps=4, u0=0.5)
+    rhs = lambda t, y: -y
+
+    @jax.jit
+    def traj(t):
+        return solver.integrate(rhs, jnp.ones((3,)), t)
+
+    t = jnp.array([0.0, 0.5, 1.0])
+    out = traj(t)
+    ref = solver.integrate(rhs, jnp.ones((3,)), [0.0, 0.5, 1.0])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+
+
+def test_odeint_rejects_times_outside_explicit_grid():
+    from neural_ode_metasolver_tpu.ops import odeint, rk2_tableau
+
+    tab = rk2_tableau(jnp.float32(0.5))
+    rhs = lambda t, y: -y
+    with pytest.raises(ValueError, match="extrapolate"):
+        odeint(tab, rhs, jnp.ones((2,)), [0.0, 1.0],
+               time_grid=jnp.array([0.0, 0.25, 0.5]))

@@ -200,3 +200,32 @@ def test_noise_rk3_both_params():
 def test_noise_euler_noop():
     s = create_solver("euler", None, n_steps=4)
     assert noise_solver(s, jax.random.key(0)) is s
+
+
+def test_single_solver_ensemble_applies_weight_and_aux():
+    """A 1-member ensemble still flips the coin and applies its weight
+    (reference layers.py:32-48); switch with one solver records aux."""
+    from neural_ode_metasolver_tpu.ops import (
+        SolverOptions,
+        create_solver,
+        meta_integrate,
+    )
+
+    s = create_solver("rk2", "u", n_steps=2, u0=0.5)
+    rhs = lambda t, y: -y
+    y0 = jnp.ones((4,))
+    base, _ = meta_integrate([s], rhs, y0,
+                             SolverOptions(solver_mode="standalone"))
+
+    opts = SolverOptions(solver_mode="ensemble", ensemble_weights=[0.7],
+                         ensemble_prob=1.0)
+    y, aux = meta_integrate([s], rhs, y0, opts, key=jax.random.key(0))
+    assert "ensemble_coin_flip" in aux and bool(aux["ensemble_coin_flip"])
+    np.testing.assert_allclose(np.asarray(y), 0.7 * np.asarray(base),
+                               rtol=1e-6)
+
+    y2, aux2 = meta_integrate(
+        [s], rhs, y0, SolverOptions(solver_mode="switch"),
+        key=jax.random.key(1))
+    assert int(aux2["switch_solver_id"]) == 0
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(base), rtol=1e-6)
