@@ -18,6 +18,23 @@ from .odenet_mnist import MnistConfig, apply_mnist, init_mnist
 
 Array = jax.Array
 
+
+def _solver_args(cfg, solvers, solver_options):
+    """Normalize the adapter's optional solver args: a None options
+    record means the default SolverOptions(); a missing solver list on an
+    ODE-mode config is a clear error here instead of a TypeError deep in
+    meta_integrate."""
+    if solver_options is None:
+        from ..ops.regimes import SolverOptions
+
+        solver_options = SolverOptions()
+    if solvers is None and getattr(cfg, "is_odenet", True):
+        raise ValueError(
+            "this config integrates ODE blocks: pass solvers=[...] "
+            "(e.g. [create_solver('rk2', 'u', n_steps=8, u0=0.5)])"
+        )
+    return solvers, solver_options
+
 __all__ = ["Model", "make_mnist_model", "make_cifar_model", "build_model"]
 
 
@@ -37,6 +54,7 @@ def make_mnist_model(cfg: MnistConfig = MnistConfig()) -> Model:
               key=None, train=False, ss_loss=False, ss_loss_abs=False,
               remat=False, unroll=1, integration_method="backprop"):
         del train  # MNIST net is stateless (GN only)
+        solvers, solver_options = _solver_args(cfg, solvers, solver_options)
         logits, aux = apply_mnist(
             params, x, solvers, solver_options, cfg=cfg, key=key,
             ss_loss=ss_loss, ss_loss_abs=ss_loss_abs, remat=remat,
@@ -55,6 +73,7 @@ def make_cifar_model(cfg: CifarConfig = CifarConfig()) -> Model:
     def apply(params, state, x, solvers=None, solver_options=None, *,
               key=None, train=False, ss_loss=False, ss_loss_abs=False,
               remat=False, unroll=1, integration_method="backprop"):
+        solvers, solver_options = _solver_args(cfg, solvers, solver_options)
         return apply_cifar(
             params, state, x, solvers, solver_options, cfg=cfg, key=key,
             train=train, ss_loss=ss_loss, ss_loss_abs=ss_loss_abs,

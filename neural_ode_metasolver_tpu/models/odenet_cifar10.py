@@ -326,16 +326,16 @@ def init_cifar(key: Array, cfg: CifarConfig = CifarConfig()):
 
     in_planes = cfg.in_planes
     n_features = cfg.in_planes
-    strides_all = []
     for li in range(n_layers):
         planes = cfg.in_planes * (2 ** li)
         stride = 1 if li == 0 else 2
-        lp, ls, in_planes, strides = _meta_layer_init(
+        # per-block strides are re-derived by apply via _layer_strides —
+        # one canonical source of truth
+        lp, ls, in_planes, _ = _meta_layer_init(
             keys[1 + li], cfg, planes, cfg.num_blocks[li], stride, in_planes
         )
         p[f"layer{li + 1}"] = lp
         s[f"layer{li + 1}"] = ls
-        strides_all.append(strides)
         if li >= 1:
             n_features *= 2
 

@@ -61,7 +61,8 @@ def _linear(sd, prefix):
     return out
 
 
-def cifar_params_from_torch_state_dict(sd: Mapping[str, Any]):
+def cifar_params_from_torch_state_dict(sd: Mapping[str, Any],
+                                       block_type: str = "prebasic"):
     """Convert a reference CIFAR (pre)MetaNODE state_dict into
     ``init_cifar``'s param-tree layout (odenet_cifar10/layers.py:380-530).
 
@@ -77,9 +78,17 @@ def cifar_params_from_torch_state_dict(sd: Mapping[str, Any]):
     Norm-bearing checkpoints (BN/GN weights present) raise with the
     offending keys — their running statistics belong in model_state and
     need a config-aware import.
+
+    ``block_type``: ``"prebasic"`` (premetanode*, default) or ``"basic"``
+    (metanode*) — NF checkpoints have identical torch names for both, but
+    ``init_cifar`` emits an extra ``sc_bn=None`` leaf on basic-block
+    shortcuts (odenet_cifar10.py:109-110), so the target family must be
+    stated for the imported tree to be structure-identical.
     """
     import re
 
+    if block_type not in ("prebasic", "basic"):
+        raise ValueError(f"unknown block_type {block_type!r}")
     out: dict = {}
     unknown = []
     for name, v in sd.items():
@@ -144,6 +153,10 @@ def cifar_params_from_torch_state_dict(sd: Mapping[str, Any]):
             for b in blocks.values():
                 b.setdefault("bn1", None)
                 b.setdefault("bn2", None)
+                if (kind == "res" and block_type == "basic"
+                        and "sc_conv" in b):
+                    # BasicBlock shortcuts carry a norm slot (None under NF)
+                    b.setdefault("sc_bn", None)
             layer[kind] = [blocks[i] for i in sorted(blocks)]
     out.setdefault("bn1", None)
     return out

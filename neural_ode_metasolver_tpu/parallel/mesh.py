@@ -222,14 +222,14 @@ def make_parallel_train_step(
         opt_sh = shard_opt_state_tp(
             ts_template.opt_state, ts_template.params, mesh, model_axis
         )
-        ts_sh = ts_template.replace(
-            step=NamedSharding(mesh, P()),
-            params=param_sh,
-            model_state=jax.tree_util.tree_map(
-                lambda _: NamedSharding(mesh, P()), ts_template.model_state
-            ),
-            opt_state=opt_sh,
+        # start from an all-replicated sharding tree over WHATEVER fields
+        # the state carries (TrainState, SolverTrainState, ...) and graft
+        # the tp shardings in — replacing named fields one by one would
+        # leave extra fields' template arrays inside in_shardings
+        ts_sh = jax.tree_util.tree_map(
+            lambda _: NamedSharding(mesh, P()), ts_template
         )
+        ts_sh = ts_sh.replace(params=param_sh, opt_state=opt_sh)
     else:
         ts_sh = jax.tree_util.tree_map(
             lambda _: replicated(mesh), ts_template

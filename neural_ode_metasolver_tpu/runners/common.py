@@ -358,9 +358,16 @@ def fit(
                 mean=getattr(args, "data_mean", None),
                 std=getattr(args, "data_std", None),
             )
+            if "adv_predict" not in predict_cache:
+                from ..training import make_adversarial_predict
+
+                predict_cache["adv_predict"] = make_adversarial_predict(
+                    model, solvers, solver_options, test_attack
+                )
             adv_acc = adversarial_accuracy(
                 model, ts.params, ts.model_state, solvers, solver_options,
                 test_data_factory(), test_attack, k_adv,
+                predict=predict_cache["adv_predict"],
             )
             logger.info(f"epoch {epoch} | adversarial test acc {adv_acc:.4f}")
             if mlog:

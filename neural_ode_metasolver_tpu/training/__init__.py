@@ -20,6 +20,7 @@ from .evaluate import (
     accuracy_ensemble,
     adversarial_accuracy,
     adversarial_accuracy_ensemble,
+    make_adversarial_predict,
     sn_test,
 )
 from .metrics import RunningAverageMeter, nfe_per_forward, nfe_per_solve
@@ -53,6 +54,7 @@ __all__ = [
     "accuracy_ensemble",
     "adversarial_accuracy",
     "adversarial_accuracy_ensemble",
+    "make_adversarial_predict",
     "sn_test",
     "RunningAverageMeter",
     "nfe_per_forward",

@@ -29,6 +29,7 @@ Array = jax.Array
 __all__ = [
     "accuracy",
     "adversarial_accuracy",
+    "make_adversarial_predict",
     "accuracy_ensemble",
     "adversarial_accuracy_ensemble",
     "sn_test",
@@ -78,17 +79,16 @@ def accuracy(
     return _drain_counts(counts, total)
 
 
-def adversarial_accuracy(
+def make_adversarial_predict(
     model: Model,
-    params,
-    state,
     solvers: Sequence[ParametricSolver],
     solver_options: SolverOptions,
-    data: Iterable[Tuple[np.ndarray, np.ndarray]],
     attack_cfg: AttackConfig,
-    key: Array,
-) -> float:
-    """Attack every batch, then no-grad forward (train_and_attack.py:212-243)."""
+):
+    """Build the jitted attack->forward evaluator once; pass it to
+    ``adversarial_accuracy(..., predict=...)`` to reuse the compiled
+    attack-through-the-ODE-solve graph across epochs (a fresh closure per
+    call would retrace/recompile every time)."""
 
     @jax.jit
     def attacked_logits(params, state, x, y, k_attack, k_fwd):
@@ -114,11 +114,33 @@ def adversarial_accuracy(
             raise ValueError(attack_cfg.mode)
         return fwd(xa)
 
+    return attacked_logits
+
+
+def adversarial_accuracy(
+    model: Model,
+    params,
+    state,
+    solvers: Sequence[ParametricSolver],
+    solver_options: SolverOptions,
+    data: Iterable[Tuple[np.ndarray, np.ndarray]],
+    attack_cfg: AttackConfig,
+    key: Array,
+    predict=None,
+) -> float:
+    """Attack every batch, then no-grad forward (train_and_attack.py:212-243).
+
+    ``predict`` (from :func:`make_adversarial_predict`) may be passed in to
+    reuse the compiled attack+forward across epochs."""
+    if predict is None:
+        predict = make_adversarial_predict(
+            model, solvers, solver_options, attack_cfg
+        )
     counts = []
     total = 0
     for x, y in _iterate(data):
         key, k_attack, k_fwd = jax.random.split(key, 3)
-        logits = attacked_logits(
+        logits = predict(
             params, state, jnp.asarray(x), jnp.asarray(y), k_attack, k_fwd
         )
         counts.append(jnp.sum(jnp.argmax(logits, -1) == jnp.asarray(y)))
@@ -227,7 +249,9 @@ def sn_test(
     """
     accs = []
     for n in nsteps_grid:
-        s = solver.replace(n_steps=int(n), step_size=None)
+        # clear ALL grid sources besides n_steps — a leftover custom_grid
+        # would win in time_grid() and make every sweep point identical
+        s = solver.replace(n_steps=int(n), step_size=None, custom_grid=None)
         accs.append(
             accuracy(model, params, state, [s], solver_options,
                      data_factory(), key)

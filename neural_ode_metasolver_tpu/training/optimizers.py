@@ -54,10 +54,20 @@ def make_optimizer(
     else:
         raise ValueError(f"unknown optimizer {name!r}")
 
-    parts.append(optax.scale_by_learning_rate(learning_rate))
-    tx = optax.chain(*parts)
+    lr_part = optax.scale_by_learning_rate(learning_rate)
     if every_k > 1:
-        tx = optax.MultiSteps(tx, every_k_schedule=every_k)
+        # the LR schedule stays OUTSIDE the accumulation wrapper: its count
+        # then advances every iteration, matching the reference's
+        # per-iteration scheduler.step() regardless of zero_grad_every
+        # (train_and_attack.py:316,564) — inside MultiSteps it would tick
+        # once per k and run the cyclic schedule k-times slower.
+        # Non-emit iterations scale MultiSteps' zero updates (a no-op).
+        tx = optax.chain(
+            optax.MultiSteps(optax.chain(*parts), every_k_schedule=every_k),
+            lr_part,
+        )
+    else:
+        tx = optax.chain(*parts, lr_part)
     if nonfinite_backoff is not None:
         tx = with_nonfinite_backoff(tx, backoff=nonfinite_backoff)
     return tx

@@ -9,8 +9,11 @@ transformation (the ``lr_uv`` analog), and receive gradients through the
 integration scan — the tableau constructors are differentiable end to end
 (ops/tableau.py).
 
-Solver smoothing composes by perturbing around the *current* (u, v) instead
-of (u0, v0) when requested.
+Solver smoothing is NOT wired into this step (``make_solver_train_step``
+takes no ``NoiseConfig``): perturbing coefficients that are simultaneously
+being optimized would feed noise into their own gradient stream. Train
+with smoothing via ``make_train_step`` (frozen solvers) or optimize (u, v)
+here — the regimes are separate by design.
 """
 from __future__ import annotations
 

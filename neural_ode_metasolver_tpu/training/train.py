@@ -294,6 +294,14 @@ def make_train_step(
         }
         if skip_nonfinite:
             metrics["skipped_nonfinite"] = (~ok).astype(jnp.float32)
+            # a skipped batch must not poison BN/SN running statistics
+            # either: NaN means/vars would make every later (eval-mode)
+            # forward non-finite and freeze the run
+            new_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old)
+                if hasattr(new, "dtype") else new,
+                new_state, ts.model_state,
+            )
         ts = ts.replace(
             step=ts.step + 1,
             params=new_params,

@@ -421,3 +421,24 @@ def test_heterogeneous_switch_through_model():
         assert np.isfinite(np.asarray(logits)).all()
         outs.add(round(float(logits[0, 0]), 6))
     assert len(outs) > 1  # different solvers actually get selected
+
+
+def test_model_apply_defaults_give_clear_errors():
+    """Model.apply with no solvers on an ODE config raises an actionable
+    ValueError; solver_options=None means the default SolverOptions()."""
+    from neural_ode_metasolver_tpu.models.api import build_model
+    from neural_ode_metasolver_tpu.ops import create_solver
+
+    model = build_model("mnist", dim=8)
+    params, state = model.init(jax.random.key(0))
+    x = jnp.zeros((2, 28, 28, 1))
+    with pytest.raises(ValueError, match="pass solvers"):
+        model.apply(params, state, x)
+    s = create_solver("rk2", "u", n_steps=2, u0=0.5)
+    logits, _, _ = model.apply(params, state, x, [s])  # options defaulted
+    assert logits.shape == (2, 10)
+    # resnet-mode configs don't need solvers at all
+    res = build_model("mnist", dim=8, is_odenet=False)
+    rp, rs = res.init(jax.random.key(1))
+    logits, _, _ = res.apply(rp, rs, x)
+    assert logits.shape == (2, 10)

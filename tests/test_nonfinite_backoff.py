@@ -151,3 +151,22 @@ def test_skip_nonfinite_does_not_undo_backoff():
     for a, b in zip(params_before,
                     jax.tree_util.tree_leaves(ts2.params)):
         np.testing.assert_array_equal(a, np.asarray(b))
+
+
+def test_every_k_lr_schedule_advances_per_iteration():
+    """With gradient accumulation the LR schedule must tick every
+    iteration (reference scheduler.step() per iteration,
+    train_and_attack.py:564), not once per emitted update."""
+    sched = lambda count: 10.0 ** count
+    tx = make_optimizer("sgd", sched, momentum=0.0, every_k=2)
+    p = {"w": jnp.zeros((2,))}
+    s = tx.init(p)
+    g = {"w": jnp.ones((2,))}
+    u0, s = tx.update(g, s, p)   # iteration 0: accumulate, no emit
+    np.testing.assert_array_equal(np.asarray(u0["w"]), 0.0)
+    u1, s = tx.update(g, s, p)   # iteration 1: emit with lr=sched(1)=10
+    np.testing.assert_allclose(np.asarray(u1["w"]), -10.0, rtol=1e-6)
+    u2, s = tx.update(g, s, p)   # iteration 2: accumulate
+    np.testing.assert_array_equal(np.asarray(u2["w"]), 0.0)
+    u3, s = tx.update(g, s, p)   # iteration 3: emit with lr=sched(3)=1000
+    np.testing.assert_allclose(np.asarray(u3["w"]), -1000.0, rtol=1e-6)

@@ -471,3 +471,30 @@ def test_host_local_batch_combines_with_prefetch_sharding():
     for a, b in zip(via_prefetch, via_global):
         assert a.sharding.is_equivalent_to(b.sharding, a.ndim)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tp_wraps_solver_train_state():
+    """make_parallel_train_step must handle state classes with extra
+    fields (SolverTrainState): every field gets a sharding, not a
+    leftover template array in in_shardings."""
+    from neural_ode_metasolver_tpu.training import (
+        create_solver_train_state,
+        make_solver_train_step,
+    )
+
+    model = build_model("premetanode10", in_planes=16)
+    solvers = [create_solver("rk2", "u", n_steps=2, u0=0.5)]
+    tx = make_optimizer("sgd", 0.05)
+    stx = make_optimizer("sgd", 0.01)
+    ts = create_solver_train_state(model, tx, stx, solvers,
+                                   jax.random.key(0))
+    raw = make_solver_train_step(model, tx, stx, solvers,
+                                 jit_compile=False, donate=False)
+    mesh = make_mesh({"data": 4, "model": 2})
+    step = make_parallel_train_step(raw, mesh, ts, data_axis="data",
+                                    model_axis="model")
+    x = jnp.zeros((8, 16, 16, 3))
+    y = jnp.zeros((8,), jnp.int32)
+    ts2, m = step(ts, x, y, jax.random.key(1))
+    assert bool(jnp.isfinite(m["loss"]))
+    assert int(ts2.step) == 1

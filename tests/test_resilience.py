@@ -214,3 +214,22 @@ def test_skip_nonfinite_loss_overflow_consistent_with_backoff():
     for a, c in zip(jax.tree_util.tree_leaves(ts1.params),
                     jax.tree_util.tree_leaves(ts2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_skip_nonfinite_preserves_model_state():
+    """A skipped batch must not commit NaN BN running statistics."""
+    from neural_ode_metasolver_tpu.models.api import build_model
+
+    model = build_model("premetanode4", in_planes=8,
+                        norms=("BN", "BN", "BN"))
+    tx = make_optimizer("sgd", 0.05)
+    ts = create_train_state(model, tx, jax.random.key(0))
+    step = make_train_step(model, tx, SOLVERS, SolverOptions(),
+                           skip_nonfinite=True, donate=False)
+    x_bad = jnp.full((4, 32, 32, 3), jnp.nan, jnp.float32)
+    y = jnp.zeros((4,), jnp.int32)
+    ts2, m = step(ts, x_bad, y, jax.random.key(1))
+    assert float(m["skipped_nonfinite"]) == 1.0
+    for a, b in zip(jax.tree_util.tree_leaves(ts.model_state),
+                    jax.tree_util.tree_leaves(ts2.model_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

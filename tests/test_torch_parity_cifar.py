@@ -232,3 +232,46 @@ def test_cifar_import_zero_res_blocks_premetanode4():
                                SolverOptions(), cfg=cfg)
     assert logits.shape == (2, 10)
     assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_importer_basic_block_type_emits_sc_bn():
+    """block_type='basic' (metanode*) import must be structure-identical
+    to init_cifar's tree, including the sc_bn=None leaf on shortcut-bearing
+    basic blocks (NF torch names cannot distinguish the families)."""
+    import numpy as np
+
+    from neural_ode_metasolver_tpu.models import (
+        cifar_params_from_torch_state_dict,
+        init_cifar,
+        metanode10,
+    )
+
+    P = 16
+    rng = np.random.default_rng(0)
+
+    def w(*shape):
+        return rng.standard_normal(shape).astype(np.float32)
+
+    sd = {
+        "conv1.weight": w(P, 3, 3, 3),
+        "layer1.blocks_res.0.conv1.weight": w(P, P, 3, 3),
+        "layer1.blocks_res.0.conv2.weight": w(P, P, 3, 3),
+        "layer1.blocks_ode.0.rhs_func.conv1.weight": w(P, P, 3, 3),
+        "layer1.blocks_ode.0.rhs_func.conv2.weight": w(P, P, 3, 3),
+        "layer2.blocks_res.0.conv1.weight": w(2 * P, P, 3, 3),
+        "layer2.blocks_res.0.conv2.weight": w(2 * P, 2 * P, 3, 3),
+        "layer2.blocks_res.0.shortcut.0.weight": w(2 * P, P, 1, 1),
+        "layer2.blocks_ode.0.rhs_func.conv1.weight": w(2 * P, 2 * P, 3, 3),
+        "layer2.blocks_ode.0.rhs_func.conv2.weight": w(2 * P, 2 * P, 3, 3),
+        "fc_layers.1.weight": w(10, 2 * P),
+        "fc_layers.1.bias": w(10),
+    }
+    imported = cifar_params_from_torch_state_dict(sd, block_type="basic")
+    ref_params, _ = init_cifar(jax.random.key(0), metanode10(in_planes=P))
+    assert (jax.tree_util.tree_structure(imported)
+            == jax.tree_util.tree_structure(ref_params))
+    # prebasic import of the same names must NOT carry sc_bn
+    pre = cifar_params_from_torch_state_dict(sd, block_type="prebasic")
+    assert "sc_bn" not in pre["layer2"]["res"][0]
+    with pytest.raises(ValueError, match="unknown block_type"):
+        cifar_params_from_torch_state_dict(sd, block_type="bogus")
