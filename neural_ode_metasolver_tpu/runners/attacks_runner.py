@@ -127,6 +127,9 @@ def main(argv=None):
             weight_decay=margs.get("weight_decay", 0.0),
             grad_clip=margs.get("grad_clipping_threshold"),
             every_k=margs.get("zero_grad_every", 1),
+            # checkpoints trained with --nan_backoff wrap the opt state in
+            # NonfiniteBackoffState; restore needs the same structure
+            nonfinite_backoff=margs.get("nan_backoff"),
         )
         template = create_train_state(model, tx, jax.random.key(0))
         ts, _ = restore_checkpoint(base, template)
@@ -141,20 +144,29 @@ def main(argv=None):
 
         def data():
             it = batch_iterator(ds, args.batch_size, shuffle=False,
-                                mean=mean, std=std)
+                                drop_last=False, mean=mean, std=std)
             if args.max_batches:
                 import itertools
 
                 it = itertools.islice(it, args.max_batches)
             return it
 
-        opts = SolverOptions()
+        # evaluate under the REGIME the checkpoint was trained/validated
+        # with (reference rebuilds from saved model_args, attacks_runner.py:65)
+        opts = SolverOptions(
+            solver_mode=margs.get("solver_mode", "standalone"),
+            switch_probs=margs.get("switch_probs"),
+            ensemble_prob=margs.get("ensemble_prob", 1.0),
+            ensemble_weights=margs.get("ensemble_weights"),
+        )
         for mode in args.modes:
             for eps in args.epsilons:
                 nonlocal_key = jax.random.fold_in(key, len(rows))
                 if mode == "clean":
+                    # switch/ensemble regimes need a PRNG key per batch
                     acc = accuracy(model, ts.params, ts.model_state,
-                                   solvers, opts, data())
+                                   solvers, opts, data(),
+                                   key=nonlocal_key)
                 else:
                     acc = adversarial_accuracy(
                         model, ts.params, ts.model_state, solvers, opts,

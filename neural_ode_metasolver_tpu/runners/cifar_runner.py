@@ -36,7 +36,7 @@ NETWORKS = [
 ]
 
 
-def parse_args(argv=None):
+def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     # architecture (train_and_attack.py:40-45, 161-182)
     p.add_argument("--is_odenet", type=eval, default=True,
@@ -155,7 +155,11 @@ def parse_args(argv=None):
                         "(0 disables; overlaps upload with compute)")
     p.add_argument("--synthetic_train_size", type=int, default=8192)
     p.add_argument("--synthetic_test_size", type=int, default=1024)
-    return p.parse_args(argv)
+    return p
+
+
+def parse_args(argv=None):
+    return build_parser().parse_args(argv)
 
 
 def main(argv=None):
@@ -221,14 +225,16 @@ def main(argv=None):
         )
 
     def eval_data():
+        # drop_last=False: evaluate every sample (see PARITY.md
+        # eval-denominator note)
         return batch_iterator(
-            val_ds, args.test_batch_size, shuffle=False,
+            val_ds, args.test_batch_size, shuffle=False, drop_last=False,
             mean=CIFAR10_MEAN, std=CIFAR10_STD,
         )
 
     def test_data():
         return batch_iterator(
-            test_ds, args.test_batch_size, shuffle=False,
+            test_ds, args.test_batch_size, shuffle=False, drop_last=False,
             mean=CIFAR10_MEAN, std=CIFAR10_STD,
         )
 

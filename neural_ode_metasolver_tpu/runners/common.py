@@ -213,8 +213,6 @@ def fit(
         ss_loss_reg=getattr(args, "ss_loss_reg", 0.1),
         data_noise_std=getattr(args, "data_noise_std", 0.0),
     )
-    import jax.numpy as jnp
-
     compute_dtype = (
         jnp.bfloat16 if getattr(args, "precision", "f32") == "bf16" else None
     )
@@ -269,7 +267,6 @@ def fit(
         else:
             batch_sh = batch_sharding(mesh)
     config = dict(config or {})
-    save_dir = getattr(args, "save_dir", None)
     logger.info(
         "NFE/forward: %s",
         nfe_per_forward(solvers, solver_options, _count_ode_blocks(model)),
@@ -281,7 +278,7 @@ def fit(
     from ..training.logging import MetricsLogger
 
     prefetch = getattr(args, "prefetch", 2)
-    mlog = MetricsLogger(save_dir or ".", config=config) if save_dir else None
+    mlog = MetricsLogger(save_dir, config=config) if save_dir else None
     for epoch in range(getattr(args, "nepochs", 1)):
         # Throughput discipline: batches are device_put ahead of the step
         # (upload rides under compute) and per-step metrics stay on device

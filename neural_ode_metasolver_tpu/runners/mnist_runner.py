@@ -24,7 +24,7 @@ from ..utils import count_parameters, fix_seeds, get_logger
 from .common import fit
 
 
-def parse_args(argv=None):
+def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     # solver / regime flags (runner.py:31-53)
     p.add_argument("--solvers", type=str, default="rk2,u,8,-1,0.5,-1")
@@ -61,7 +61,8 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--test_batch_size", type=int, default=1000)
     p.add_argument("--nepochs", type=int, default=160)
-    p.add_argument("--data_aug", action="store_true", default=True)
+    p.add_argument("--data_aug", type=eval, default=True,
+                   choices=[True, False])
     p.add_argument("--seed", type=int, default=502)
     # adversarial training/testing (runner_new.py:86-104)
     p.add_argument("--adv_training_mode", default="clean",
@@ -126,7 +127,11 @@ def parse_args(argv=None):
                         "(0 disables; overlaps upload with compute)")
     p.add_argument("--synthetic_train_size", type=int, default=4096)
     p.add_argument("--synthetic_test_size", type=int, default=1024)
-    return p.parse_args(argv)
+    return p
+
+
+def parse_args(argv=None):
+    return build_parser().parse_args(argv)
 
 
 def main(argv=None):
@@ -191,8 +196,11 @@ def main(argv=None):
         )
 
     def eval_data():
+        # keep the tail batch: eval must cover every sample (the digits
+        # fallback's 359-sample test set yields ZERO batches under
+        # drop_last; reference MNIST accuracy divides by len(dataset))
         return batch_iterator(
-            test_ds, args.test_batch_size, shuffle=False
+            test_ds, args.test_batch_size, shuffle=False, drop_last=False
         )
 
     batches_per_epoch = len(train_ds) // args.batch_size
@@ -257,8 +265,10 @@ def _fit_with_trainable_solvers(model, solvers, tx, args, logger,
             ts, m = step(ts, jnp.asarray(x), jnp.asarray(y), sub)
             losses.append(float(m["loss"]))
         cur = solvers_from_state(solvers, ts.solver_params)
+        key, k_val = jax.random.split(key)
+        # switch/ensemble eval regimes need the key; harmless otherwise
         acc = accuracy(model, ts.params, ts.model_state, cur, opts,
-                       eval_data())
+                       eval_data(), key=k_val)
         us = [f"{float(s.u):.4f}" if s.u is not None else "-" for s in cur]
         logger.info(
             f"epoch {epoch} | loss {np.mean(losses):.4f} | acc {acc:.4f} | "

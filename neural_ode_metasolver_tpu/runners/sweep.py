@@ -109,15 +109,31 @@ def expand_grid(config: Dict[str, Any]) -> List[Dict[str, Any]]:
     ]
 
 
+def _zero_arity_flags(runner: str) -> set:
+    """Option strings of the runner's store_true flags — booleans that
+    take NO operand. The reference-parity CLIs mix store_true flags
+    (e.g. mnist --ss_loss) with type=eval booleans that REQUIRE an
+    operand (cifar --ss_loss True); emitting the wrong form kills the
+    grid point with an argparse SystemExit."""
+    parser = _runner_module(runner).build_parser()
+    return {
+        opt
+        for a in parser._actions
+        if a.nargs == 0
+        for opt in a.option_strings
+    }
+
+
 def _apply_overrides(
     base_argv: List[str], combo: Dict[str, Any], run_dir: str,
     runner: str = "cifar",
 ) -> List[str]:
     """Base runner argv + one grid point's overrides."""
     argv = list(base_argv)
+    zero_arity = _zero_arity_flags(runner)
 
     def set_flag(flag: str, value: Any):
-        if isinstance(value, bool):
+        if isinstance(value, bool) and flag in zero_arity:
             # store_true flags take no operand: present iff True
             if value and flag not in argv:
                 argv.append(flag)
@@ -165,16 +181,20 @@ def _apply_overrides(
     return argv
 
 
-def _runner_main(name: str):
+def _runner_module(name: str):
     if name == "cifar":
         from . import cifar_runner
 
-        return cifar_runner.main
+        return cifar_runner
     if name == "mnist":
         from . import mnist_runner
 
-        return mnist_runner.main
+        return mnist_runner
     raise ValueError(f"unknown runner {name!r} (expected cifar|mnist)")
+
+
+def _runner_main(name: str):
+    return _runner_module(name).main
 
 
 def _best_metric(run_dir: str) -> Optional[float]:

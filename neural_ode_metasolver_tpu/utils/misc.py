@@ -44,6 +44,8 @@ def get_logger(
     logger = logging.getLogger(name)
     level = logging.DEBUG if debug else logging.INFO
     logger.setLevel(level)
+    for h in logger.handlers:  # close old FileHandlers: no fd leak when a
+        h.close()              # sweep re-invokes a runner in-process
     logger.handlers.clear()
     if saving:
         makedirs(os.path.dirname(os.path.abspath(logpath)))

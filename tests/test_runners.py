@@ -255,3 +255,77 @@ def test_mnist_runner_mesh_sp_with_prefetch(tmp_path):
         "--save_dir", save,
     ])
     assert glob.glob(os.path.join(save, "last", "step_*"))
+
+
+def test_eval_covers_tail_when_batch_exceeds_dataset(tmp_path):
+    """test_batch_size larger than the test set (the digits-fallback shape)
+    must still evaluate every sample — drop_last used to yield ZERO eval
+    batches and a constant 0.0 accuracy."""
+    import json
+
+    save = str(tmp_path / "tail_exp")
+    mnist_runner.main([
+        "--solvers", "rk2,u,2,-1,0.5,-1",
+        "--nepochs", "1",
+        "--batch_size", "16",
+        "--test_batch_size", "1000",   # > synthetic_test_size
+        "--synthetic_train_size", "32",
+        "--synthetic_test_size", "64",
+        "--save_dir", save,
+    ])
+    recs = [json.loads(l) for l in open(os.path.join(save, "metrics.jsonl"))]
+    bests = [r for r in recs if any(k.startswith("best_") for k in r)]
+    assert bests, "eval saw zero batches: no nonzero accuracy ever recorded"
+
+
+def test_attacks_runner_restores_nan_backoff_checkpoint(tmp_path):
+    """A checkpoint trained with --nan_backoff wraps its opt state in
+    NonfiniteBackoffState; the sweep must rebuild the same structure."""
+    save = str(tmp_path / "nb_exp")
+    mnist_runner.main([
+        "--solvers", "rk2,u,2,-1,0.5,-1",
+        "--nepochs", "1",
+        "--batch_size", "16",
+        "--test_batch_size", "16",
+        "--synthetic_train_size", "32",
+        "--synthetic_test_size", "16",
+        "--nan_backoff", "0.5",
+        "--save_dir", save,
+    ])
+    out_csv = str(tmp_path / "nb.csv")
+    attacks_runner.main([
+        "--checkpoints_glob", os.path.join(save, "last"),
+        "--modes", "clean",
+        "--epsilons", "0.1",
+        "--batch_size", "16",
+        "--max_batches", "1",
+        "--output_csv", out_csv,
+    ])
+    rows = list(csv.DictReader(open(out_csv)))
+    assert len(rows) == 1 and 0.0 <= float(rows[0]["accuracy"]) <= 1.0
+
+
+def test_sweep_bool_flags_match_runner_arity():
+    """Booleans sweep correctly for BOTH flag styles: cifar's type=eval
+    flags get an operand, mnist's store_true flags stay bare."""
+    from neural_ode_metasolver_tpu.runners.sweep import _apply_overrides
+
+    argv = _apply_overrides([], {"ss_loss": True}, "/tmp/r", runner="cifar")
+    assert ["--ss_loss", "True"] == argv[:2]
+    argv = _apply_overrides([], {"ss_loss": False}, "/tmp/r", runner="cifar")
+    assert ["--ss_loss", "False"] == argv[:2]
+    argv = _apply_overrides([], {"ss_loss": True}, "/tmp/r", runner="mnist")
+    assert argv[:1] == ["--ss_loss"] and argv[1] != "True"
+    argv = _apply_overrides(["--ss_loss"], {"ss_loss": False}, "/tmp/r",
+                            runner="mnist")
+    assert "--ss_loss" not in argv
+    # the parsers actually accept the emitted forms
+    cargs = cifar_runner.parse_args(
+        _apply_overrides([], {"ss_loss": True}, "/tmp/r", runner="cifar"))
+    assert cargs.ss_loss is True
+    margs = mnist_runner.parse_args(
+        _apply_overrides([], {"ss_loss": True}, "/tmp/r", runner="mnist"))
+    assert margs.ss_loss is True
+    # mnist --data_aug is now reference-style type=eval
+    margs = mnist_runner.parse_args(["--data_aug", "False"])
+    assert margs.data_aug is False
