@@ -34,14 +34,33 @@ _build_failed = False
 
 
 def _build() -> bool:
+    """Compile to a temp path then atomically rename: concurrent processes
+    (parallel pytest, two runners) can race on _LIB_PATH, and dlopen of a
+    half-written .so would permanently disable the native path."""
+    tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-pthread",
-             "-o", _LIB_PATH, _SRC],
+            ["g++", "-O3", "-march=native", "-Wall", "-fPIC", "-shared",
+             "-pthread", "-o", tmp, _SRC],
             check=True, capture_output=True, timeout=120,
         )
+        os.replace(tmp, _LIB_PATH)
         return True
     except Exception:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        return False
+
+
+def _stale() -> bool:
+    """The .so must be rebuilt when the source is newer — an existing
+    binary would otherwise silently pin pre-fix behavior forever. (The
+    binary is never committed: it embeds -march=native host ISA.)"""
+    try:
+        return os.path.getmtime(_SRC) > os.path.getmtime(_LIB_PATH)
+    except OSError:
         return False
 
 
@@ -52,16 +71,19 @@ def _load() -> Optional[ctypes.CDLL]:
             return _lib
         if _build_failed:
             return None
-        if not os.path.exists(_LIB_PATH):
+        if not os.path.exists(_LIB_PATH) or _stale():
             if not os.path.exists(_SRC) or not _build():
                 _build_failed = True
                 return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
-        except OSError:
+            abi = lib.nodems_abi_version()
+        except (OSError, AttributeError):
+            # unreadable lib, or a foreign/ancient .so without the ABI
+            # symbol: fall back to NumPy rather than raising
             _build_failed = True
             return None
-        if lib.nodems_abi_version() != 1:
+        if abi != 1:
             _build_failed = True
             return None
         lib.nodems_augment_batch.argtypes = [
@@ -102,9 +124,18 @@ def augment_batch_native(
     lib = _load()
     if lib is None:
         raise RuntimeError("native pipeline unavailable (g++ build failed)")
+    if (mean is None) != (std is None):
+        raise ValueError("mean and std must be given together")
     images = np.ascontiguousarray(images, np.float32)
     idx = np.ascontiguousarray(indices, np.int64)
     n, h, w, c = images.shape
+    if idx.size and (idx.min() < 0 or idx.max() >= n):
+        # the C++ kernel does raw pointer arithmetic; match the NumPy
+        # path's IndexError instead of reading out of bounds
+        raise IndexError(
+            f"indices out of range [0, {n}): "
+            f"[{int(idx.min())}, {int(idx.max())}]"
+        )
     out = np.empty((idx.shape[0], h, w, c), np.float32)
     if mean is not None:
         mean_a = np.ascontiguousarray(mean, np.float32)
@@ -128,7 +159,9 @@ def shuffle_indices(n: int, seed: int) -> np.ndarray:
     lib = _load()
     idx = np.empty((n,), np.int64)
     if lib is None:
-        rs = np.random.RandomState(seed & 0x7FFFFFFF)
+        # full 32-bit seed space (RandomState's limit); the old 31-bit
+        # mask collapsed distinct seeds to identical permutations
+        rs = np.random.RandomState(seed % (2 ** 32))
         idx[:] = rs.permutation(n)
         return idx
     lib.nodems_shuffle_indices(

@@ -1,6 +1,8 @@
 """Native (C++) input-pipeline tests: build via g++, property-check the
 augmentation kernel against the NumPy reference semantics, determinism, and
 throughput sanity."""
+import os
+
 import numpy as np
 import pytest
 
@@ -116,3 +118,51 @@ def test_native_faster_than_numpy():
     t_numpy = min(run("numpy") for _ in range(3))
     # the multithreaded native path should win comfortably; assert modestly
     assert t_native < t_numpy
+
+
+def test_native_rejects_out_of_range_indices():
+    from neural_ode_metasolver_tpu.data.native import (
+        augment_batch_native,
+        native_available,
+    )
+
+    if not native_available():
+        pytest.skip("native pipeline unavailable")
+    imgs = np.zeros((4, 8, 8, 3), np.float32)
+    with pytest.raises(IndexError, match="out of range"):
+        augment_batch_native(imgs, np.array([0, 4]))
+    with pytest.raises(IndexError, match="out of range"):
+        augment_batch_native(imgs, np.array([-1]))
+    with pytest.raises(ValueError, match="together"):
+        augment_batch_native(imgs, np.array([0]), mean=(0.5, 0.5, 0.5))
+
+
+def test_shuffle_seed_fallback_uses_full_32_bits(monkeypatch):
+    """Distinct seeds must give distinct permutations in the NumPy
+    fallback (the old 31-bit mask collapsed 2**31 and 0... masked pairs)."""
+    import neural_ode_metasolver_tpu.data.native as nat
+
+    monkeypatch.setattr(nat, "_load", lambda: None)
+    a = nat.shuffle_indices(1000, seed=2 ** 31)
+    b = nat.shuffle_indices(1000, seed=2 ** 31 + 2 ** 31)  # 2**32 -> 0
+    c = nat.shuffle_indices(1000, seed=0)
+    assert not np.array_equal(a, c), "31-bit mask collapse"
+    np.testing.assert_array_equal(b, c)  # 2**32 == 0 mod 2**32, by design
+
+
+def test_stale_so_is_rebuilt(tmp_path):
+    """Touching the source after the lib was built must trigger a rebuild
+    (an old binary silently pins pre-fix behavior otherwise)."""
+    import time
+
+    import neural_ode_metasolver_tpu.data.native as nat
+
+    if not nat.native_available():
+        pytest.skip("native pipeline unavailable")
+    old_mtime = os.path.getmtime(nat._LIB_PATH)
+    time.sleep(0.05)
+    os.utime(nat._SRC)  # source now newer
+    # reset the module-level cache so _load re-evaluates
+    nat._lib = None
+    assert nat.native_available()
+    assert os.path.getmtime(nat._LIB_PATH) > old_mtime, "no rebuild"
