@@ -32,7 +32,9 @@ from ..ops import SolverOptions, parse_solver_dsl
 from ..training import (
     AttackConfig,
     accuracy,
+    accuracy_ensemble,
     adversarial_accuracy,
+    adversarial_accuracy_ensemble,
     create_train_state,
     make_optimizer,
     restore_checkpoint,
@@ -54,6 +56,11 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=256)
     p.add_argument("--max_batches", type=int, default=None,
                    help="cap eval batches (quick sweeps)")
+    p.add_argument("--ensemble", action="store_true",
+                   help="ALSO evaluate all matched checkpoints jointly as "
+                        "a softmax-averaged model ensemble, attacked with "
+                        "FGSM2Ensemble (reference run_attack2ensemble, "
+                        "attacks_utils.py:68)")
     p.add_argument("--output_csv", type=str, default="robust_accuracy.csv")
     p.add_argument("--seed", type=int, default=502)
     return p.parse_args(argv)
@@ -108,6 +115,7 @@ def main(argv=None):
     logger = get_logger("attacks_runner.log", name="attacks")
 
     rows = []
+    members_info = []  # (model_key, model, ts, solvers, opts, ds, mean, std)
     for base in sorted(glob.glob(args.checkpoints_glob)):
         # each checkpoint base dir holds step_XXXXXXXX subdirs
         step_dirs = sorted(glob.glob(os.path.join(base, "step_*")))
@@ -185,6 +193,58 @@ def main(argv=None):
                 })
                 if mode == "clean":
                     break  # eps is irrelevant for clean
+        # architecture fingerprint: ensembling shares one apply fn
+        model_key = (cfg["model"],
+                     tuple(sorted(
+                         (k, str(v)) for k, v in margs.items()
+                         if k in ("network", "in_planes", "in_channels",
+                                  "downsampling_method",
+                                  "normalization_resblock",
+                                  "normalization_odeblock",
+                                  "normalization_bn1", "activation"))))
+        members_info.append((model_key, model, ts, solvers, opts,
+                             ds, mean, std))
+
+    if args.ensemble:
+        if len(members_info) < 2:
+            logger.warning("--ensemble needs >= 2 matched checkpoints")
+        elif len({mi[0] for mi in members_info}) != 1:
+            logger.warning("--ensemble skipped: checkpoints mix "
+                           "architectures")
+        else:
+            _, model, _, _, _, ds, mean, std = members_info[-1]
+            members = [(mi[2].params, mi[2].model_state, mi[3], mi[4])
+                       for mi in members_info]
+
+            def ens_data():
+                it = batch_iterator(ds, args.batch_size, shuffle=False,
+                                    drop_last=False, mean=mean, std=std)
+                if args.max_batches:
+                    import itertools
+
+                    it = itertools.islice(it, args.max_batches)
+                return it
+
+            tag = f"ENSEMBLE({len(members)})"
+            k_ens = jax.random.fold_in(key, 99991)
+            acc = accuracy_ensemble(model, members, ens_data(), key=k_ens)
+            logger.info(f"{tag} | clean acc={acc:.4f}")
+            rows.append({"checkpoint": tag, "mode": "ensemble_clean",
+                         "eps": 0.0, "accuracy": acc})
+            if any(m != "clean" for m in args.modes):
+                for eps in args.epsilons:
+                    k_ens = jax.random.fold_in(k_ens, 1)
+                    adv = adversarial_accuracy_ensemble(
+                        model, members, ens_data(),
+                        AttackConfig(mode="fgsm", eps=eps,
+                                     mean=mean, std=std),
+                        k_ens,
+                    )
+                    logger.info(f"{tag} | fgsm2ensemble eps={eps:.4f} "
+                                f"acc={adv:.4f}")
+                    rows.append({"checkpoint": tag,
+                                 "mode": "ensemble_fgsm", "eps": eps,
+                                 "accuracy": adv})
 
     with open(args.output_csv, "w", newline="") as f:
         writer = csv.DictWriter(

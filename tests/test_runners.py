@@ -329,3 +329,39 @@ def test_sweep_bool_flags_match_runner_arity():
     # mnist --data_aug is now reference-style type=eval
     margs = mnist_runner.parse_args(["--data_aug", "False"])
     assert margs.data_aug is False
+
+
+def test_attacks_runner_model_ensemble(tmp_path):
+    """--ensemble: matched checkpoints evaluated jointly as a
+    softmax-averaged ensemble attacked with FGSM2Ensemble (the reference
+    run_attack2ensemble CLI story, attacks_utils.py:68)."""
+    saves = []
+    for seed in (1, 2):
+        save = str(tmp_path / f"exp{seed}")
+        mnist_runner.main([
+            "--solvers", "rk2,u,2,-1,0.5,-1",
+            "--nepochs", "1",
+            "--batch_size", "16",
+            "--test_batch_size", "16",
+            "--synthetic_train_size", "32",
+            "--synthetic_test_size", "16",
+            "--seed", str(seed),
+            "--save_dir", save,
+        ])
+        saves.append(save)
+    out_csv = str(tmp_path / "ens.csv")
+    attacks_runner.main([
+        "--checkpoints_glob", str(tmp_path / "exp*" / "last"),
+        "--modes", "clean,fgsm",
+        "--epsilons", "0.1",
+        "--batch_size", "16",
+        "--max_batches", "1",
+        "--ensemble",
+        "--output_csv", out_csv,
+    ])
+    rows = list(csv.DictReader(open(out_csv)))
+    modes = [r["mode"] for r in rows]
+    assert "ensemble_clean" in modes and "ensemble_fgsm" in modes, modes
+    ens = [r for r in rows if r["mode"].startswith("ensemble")]
+    assert all(r["checkpoint"] == "ENSEMBLE(2)" for r in ens)
+    assert all(0.0 <= float(r["accuracy"]) <= 1.0 for r in ens)
