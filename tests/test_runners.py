@@ -365,3 +365,27 @@ def test_attacks_runner_model_ensemble(tmp_path):
     ens = [r for r in rows if r["mode"].startswith("ensemble")]
     assert all(r["checkpoint"] == "ENSEMBLE(2)" for r in ens)
     assert all(0.0 <= float(r["accuracy"]) <= 1.0 for r in ens)
+
+
+def test_u_sweep_end_to_end(tmp_path):
+    """The README u-sweep driver runs on synthetic data and writes the
+    per-(u, seed) CSV."""
+    from neural_ode_metasolver_tpu.runners import u_sweep
+
+    out_csv = str(tmp_path / "usweep.csv")
+    u_sweep.main([
+        "--u_grid", "0.5,1.0",
+        "--seeds", "1",
+        "--n_steps", "2",
+        "--nepochs", "1",
+        "--batch_size", "16",
+        "--dim", "8",
+        "--synthetic_train_size", "32",
+        "--synthetic_test_size", "16",
+        "--output_csv", out_csv,
+    ])
+    rows = list(csv.DictReader(open(out_csv)))
+    assert len(rows) == 2
+    assert {r["u0"] for r in rows} == {"0.5", "1.0"}
+    for r in rows:
+        assert 0.0 <= float(r["clean_acc"]) <= 1.0
