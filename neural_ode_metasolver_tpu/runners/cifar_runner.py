@@ -25,7 +25,7 @@ from ..data import (
 )
 from ..models.api import build_model
 from ..ops import parse_solver_dsl
-from ..training import cyclic_lr, make_optimizer
+from ..training import cyclic_lr, cyclic_momentum, make_optimizer
 from ..utils import count_parameters, fix_seeds, get_logger
 from .common import fit
 
@@ -98,6 +98,14 @@ def build_parser():
                    choices=["sgd", "rmsprop", "adam"])
     p.add_argument("--weight_decay", type=float, default=0.0005)
     p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--cycle_momentum", type=eval, default=True,
+                   choices=[True, False],
+                   help="cycle SGD momentum 0.8<->0.9 inversely to the "
+                        "cyclic lr, like the reference's CyclicLR "
+                        "cycle_momentum=(optim != 'adam') "
+                        "(train_and_attack.py:503-508); sgd only")
+    p.add_argument("--base_momentum", type=float, default=0.8)
+    p.add_argument("--max_momentum", type=float, default=0.9)
     p.add_argument("--zero_grad_every", type=int, default=1)
     p.add_argument("--base_lr", type=float, default=1e-7)
     p.add_argument("--max_lr", type=float, default=0.1)
@@ -240,8 +248,14 @@ def main(argv=None):
 
     sched = cyclic_lr(args.base_lr, args.max_lr, args.step_size_up,
                       args.cyclic_lr_mode)
+    momentum = args.momentum
+    if args.optim == "sgd" and args.cycle_momentum:
+        momentum = cyclic_momentum(
+            args.step_size_up, args.cyclic_lr_mode,
+            args.base_momentum, args.max_momentum,
+        )
     tx = make_optimizer(
-        args.optim, sched, momentum=args.momentum,
+        args.optim, sched, momentum=momentum,
         weight_decay=args.weight_decay,
         grad_clip=args.grad_clipping_threshold,
         every_k=args.zero_grad_every,

@@ -25,7 +25,12 @@ from .evaluate import (
 )
 from .metrics import RunningAverageMeter, nfe_per_forward, nfe_per_solve
 from .optimizers import make_optimizer, with_nonfinite_backoff
-from .schedules import constant_lr, cyclic_lr, learning_rate_with_decay
+from .schedules import (
+    constant_lr,
+    cyclic_lr,
+    cyclic_momentum,
+    learning_rate_with_decay,
+)
 from .train import (
     AttackConfig,
     LossConfig,
@@ -63,6 +68,7 @@ __all__ = [
     "with_nonfinite_backoff",
     "constant_lr",
     "cyclic_lr",
+    "cyclic_momentum",
     "learning_rate_with_decay",
     "AttackConfig",
     "LossConfig",

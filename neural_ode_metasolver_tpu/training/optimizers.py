@@ -25,7 +25,7 @@ Schedule = Union[float, Callable]
 def make_optimizer(
     name: str,
     learning_rate: Schedule,
-    momentum: float = 0.9,
+    momentum: Schedule = 0.9,
     weight_decay: float = 0.0,
     grad_clip: Optional[float] = None,
     every_k: int = 1,
@@ -43,7 +43,18 @@ def make_optimizer(
 
     name = name.lower()
     if name == "sgd":
-        parts.append(optax.trace(decay=momentum, nesterov=False))
+        if callable(momentum):
+            # per-step momentum (torch CyclicLR cycle_momentum=True,
+            # train_and_attack.py:503-508): inject_hyperparams evaluates
+            # the schedule at the pre-increment count, matching torch's
+            # "iteration t uses scheduler value t" ordering
+            parts.append(
+                optax.inject_hyperparams(optax.trace)(
+                    decay=momentum, nesterov=False
+                )
+            )
+        else:
+            parts.append(optax.trace(decay=momentum, nesterov=False))
     elif name == "rmsprop":
         # torch RMSprop defaults: alpha=0.99, eps=1e-8 added outside the sqrt
         parts.append(

@@ -17,7 +17,12 @@ from typing import Sequence
 
 import jax.numpy as jnp
 
-__all__ = ["learning_rate_with_decay", "cyclic_lr", "constant_lr"]
+__all__ = [
+    "learning_rate_with_decay",
+    "cyclic_lr",
+    "cyclic_momentum",
+    "constant_lr",
+]
 
 
 def constant_lr(lr: float):
@@ -71,5 +76,42 @@ def cyclic_lr(
             1.0 if mode == "triangular" else 1.0 / (2.0 ** (cycle - 1.0))
         )
         return base_lr + (max_lr - base_lr) * jnp.maximum(0.0, 1.0 - x) * scale
+
+    return schedule
+
+
+def cyclic_momentum(
+    step_size_up: int,
+    mode: str = "triangular2",
+    base_momentum: float = 0.8,
+    max_momentum: float = 0.9,
+):
+    """torch CyclicLR's ``cycle_momentum=True`` companion schedule.
+
+    The reference's flagship CIFAR recipe builds CyclicLR with
+    ``cycle_momentum=(optim != "adam")`` (train_and_attack.py:503-508), so
+    every published SGD run cycles momentum *inversely* to the lr between
+    torch's defaults base_momentum=0.8 and max_momentum=0.9:
+
+      momentum = max_m - (max_m - base_m) * max(0, 1-x) * scale(cycle)
+
+    with the same x/scale as :func:`cyclic_lr` — momentum is at max when lr
+    is at base and vice versa.  Pass the result as ``momentum=`` to
+    :func:`make_optimizer` (callable momenta are injected per step).
+    """
+    if mode not in ("triangular", "triangular2"):
+        raise ValueError(f"unsupported CyclicLR mode {mode!r}")
+    s = float(step_size_up)
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        cycle = jnp.floor(1.0 + step / (2.0 * s))
+        x = jnp.abs(step / s - 2.0 * cycle + 1.0)
+        scale = (
+            1.0 if mode == "triangular" else 1.0 / (2.0 ** (cycle - 1.0))
+        )
+        return max_momentum - (max_momentum - base_momentum) * jnp.maximum(
+            0.0, 1.0 - x
+        ) * scale
 
     return schedule

@@ -25,6 +25,7 @@ from neural_ode_metasolver_tpu.training import (
     adversarial_accuracy_ensemble,
     create_train_state,
     cyclic_lr,
+    cyclic_momentum,
     learning_rate_with_decay,
     make_optimizer,
     make_train_step,
@@ -67,6 +68,63 @@ def test_cyclic_lr_matches_torch():
         np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-9)
         opt.step()
         tsched.step()
+
+
+def test_cyclic_momentum_matches_torch():
+    """torch CyclicLR with cycle_momentum=True (the reference's SGD
+    default, train_and_attack.py:503-508) writes a cycled momentum into
+    the param group each step; our schedule must trace it exactly."""
+    torch = pytest.importorskip("torch")
+    base, mx, up = 1e-7, 0.1, 10
+    sched = cyclic_momentum(up, "triangular2")
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=base, momentum=0.9)
+    tsched = torch.optim.lr_scheduler.CyclicLR(
+        opt, base_lr=base, max_lr=mx, step_size_up=up, mode="triangular2",
+        cycle_momentum=True,
+    )
+    for step in range(55):
+        ours = float(sched(step))
+        theirs = opt.param_groups[0]["momentum"]
+        np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-9)
+        opt.step()
+        tsched.step()
+
+
+def test_sgd_cyclic_momentum_updates_match_torch():
+    """make_optimizer with a callable momentum must reproduce torch SGD
+    whose momentum is rewritten per step by CyclicLR(cycle_momentum=True).
+    Large lr/short cycle so a wrong schedule index or stale buffer decay
+    shows up at full size."""
+    torch = pytest.importorskip("torch")
+    base, mx, up = 0.05, 0.3, 3
+    w0 = np.random.RandomState(0).randn(5).astype(np.float32)
+    grads = [np.random.RandomState(i + 1).randn(5).astype(np.float32)
+             for i in range(8)]
+
+    tx = make_optimizer(
+        "sgd", cyclic_lr(base, mx, up, "triangular"),
+        momentum=cyclic_momentum(up, "triangular"), weight_decay=0.01,
+    )
+    params = jnp.asarray(w0)
+    state = tx.init(params)
+    for g in grads:
+        updates, state = tx.update(jnp.asarray(g), state, params)
+        params = params + updates
+
+    p = torch.nn.Parameter(torch.tensor(w0.copy()))
+    opt = torch.optim.SGD([p], lr=base, momentum=0.9, weight_decay=0.01)
+    tsched = torch.optim.lr_scheduler.CyclicLR(
+        opt, base_lr=base, max_lr=mx, step_size_up=up, mode="triangular",
+        cycle_momentum=True,
+    )
+    for g in grads:
+        opt.zero_grad()
+        p.grad = torch.tensor(g.copy())
+        opt.step()
+        tsched.step()
+    np.testing.assert_allclose(np.asarray(params), p.detach().numpy(),
+                               rtol=1e-5, atol=1e-7)
 
 
 def test_boundary_decay_schedule():
