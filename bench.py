@@ -36,12 +36,19 @@ def _run_with_retries(fn, attempts=3, backoff_s=60):
     """The tunneled chip intermittently wedges (FAILED_PRECONDITION /
     hangs observed mid-round); retry transient backend errors so one
     flaky window doesn't zero out the round's benchmark."""
+    try:
+        from jax.errors import JaxRuntimeError as XlaRuntimeError
+    except ImportError:  # older jaxlib spelling
+        from jaxlib.xla_extension import XlaRuntimeError
     for i in range(attempts):
         try:
             return fn()
-        except Exception as e:  # jax runtime errors don't share one base
+        except XlaRuntimeError as e:
+            # only backend/runtime errors are retry candidates, and only
+            # with a transient status code (a compile error or bad program
+            # also raises XlaRuntimeError but reads INVALID_ARGUMENT etc.)
             transient = any(
-                s in repr(e)
+                str(e).startswith(s) or s in repr(e)
                 for s in ("FAILED_PRECONDITION", "UNAVAILABLE",
                           "DEADLINE_EXCEEDED", "INTERNAL")
             )

@@ -125,19 +125,28 @@ def _fetch(
             # urlopen with an explicit socket timeout: a firewalled /
             # blackholed environment fails in seconds per mirror instead
             # of hanging in connect (urlretrieve accepts no timeout)
-            with urllib.request.urlopen(url, timeout=timeout) as r, \
-                    open(tmp, "wb") as f:
-                while True:
-                    block = r.read(1 << 20)
-                    if not block:
-                        break
-                    f.write(block)
-            if not verify_md5(tmp, remote.md5):
-                errors.append(f"{url}: checksum mismatch")
-                os.remove(tmp)
-                continue
-            os.replace(tmp, dest)
-            return dest
+            try:
+                with urllib.request.urlopen(url, timeout=timeout) as r, \
+                        open(tmp, "wb") as f:
+                    while True:
+                        block = r.read(1 << 20)
+                        if not block:
+                            break
+                        f.write(block)
+                if not verify_md5(tmp, remote.md5):
+                    errors.append(f"{url}: checksum mismatch")
+                    continue
+                os.replace(tmp, dest)
+                return dest
+            finally:
+                # never leave a partial .part behind (mid-download error
+                # or checksum mismatch); os.replace already moved it on
+                # the success path
+                if os.path.exists(tmp):
+                    try:
+                        os.remove(tmp)
+                    except OSError:
+                        pass
         except (urllib.error.URLError, OSError, ValueError) as e:
             errors.append(f"{url}: {e}")
     raise RuntimeError(
@@ -172,8 +181,16 @@ def _extract_cifar(archive: str, root: str, quiet: bool = False) -> None:
             assert src is not None
             with open(out, "wb") as f:
                 f.write(src.read())
+    missing = [n for n in wanted
+               if not os.path.exists(os.path.join(batch_dir, n))]
+    if missing:
+        raise RuntimeError(
+            f"{archive} did not contain the expected CIFAR batch files "
+            f"(missing: {', '.join(missing)}) — corrupt or truncated "
+            "archive?"
+        )
     if not quiet:
-        print(f"  extracted {len(wanted)} batches -> {batch_dir}")
+        print(f"  extracted {len(members)} members -> {batch_dir}")
 
 
 def dataset_present(name: str, root: str) -> bool:

@@ -138,8 +138,11 @@ def test_extract_guards_path_traversal(tmp_path):
     p = tmp_path / "evil.tar.gz"
     p.write_bytes(buf.getvalue())
     root = tmp_path / "root"
-    # the traversal member is filtered out: nothing is written anywhere
-    _extract_cifar(str(p), str(root), quiet=True)
+    # the traversal member is filtered out — nothing is written anywhere,
+    # and the now-incomplete extraction is reported instead of passing
+    # silently (advisor round-2 finding on the success message)
+    with pytest.raises(RuntimeError, match="missing"):
+        _extract_cifar(str(p), str(root), quiet=True)
     assert os.listdir(root / "cifar-10-batches-py") == []
     assert not (tmp_path.parent / "cifar-10-batches-py").exists()
 
