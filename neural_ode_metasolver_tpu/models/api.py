@@ -66,7 +66,13 @@ def make_mnist_model(cfg: MnistConfig = MnistConfig()) -> Model:
                  input_shape=(28, 28, cfg.in_channels))
 
 
-def make_cifar_model(cfg: CifarConfig = CifarConfig()) -> Model:
+def make_cifar_model(cfg: CifarConfig = CifarConfig(), *,
+                     pipeline=None) -> Model:
+    """``pipeline`` (a ``parallel.PipelineConfig``) makes the forward route
+    same-shape ODE-block stacks through GPipe over its mesh's pp axis —
+    the deep-registry (metanode34/premetanode34 and custom multi-ODE
+    configs) sharding the `--mesh pp=` CLI axis maps to."""
+
     def init(key):
         return init_cifar(key, cfg)
 
@@ -78,6 +84,7 @@ def make_cifar_model(cfg: CifarConfig = CifarConfig()) -> Model:
             params, state, x, solvers, solver_options, cfg=cfg, key=key,
             train=train, ss_loss=ss_loss, ss_loss_abs=ss_loss_abs,
             remat=remat, unroll=unroll, integration_method=integration_method,
+            pipeline=pipeline,
         )
 
     return Model(init=init, apply=apply, cfg=cfg, input_shape=(32, 32, 3))

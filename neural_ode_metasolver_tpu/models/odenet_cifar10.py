@@ -265,15 +265,91 @@ def _meta_layer_init(key, cfg, planes, num_blocks, stride, in_planes):
     return p, s, cur, strides
 
 
+def _pipeline_ode_blocks(
+    cfg, p_effs, bkeys, x, solvers, solver_options, remat, unroll, pipeline
+):
+    """Route a layer's same-shape ODE-block stack through GPipe
+    (parallel/pipeline.py): consecutive blocks grouped into
+    ``len(p_effs) // stages`` per stage, composed in sequential order, so
+    the result equals the Python loop bit-for-bit up to reduction order
+    (asserted in tests/test_parallel.py pp-parity tests)."""
+    from ..parallel.pipeline import pipeline_apply
+
+    S = pipeline.stages
+    per = len(p_effs) // S
+
+    def group(leaves):
+        stacked = jnp.stack(leaves)
+        return stacked.reshape(S, per, *stacked.shape[1:])
+
+    stage_tree = {
+        "p": jax.tree_util.tree_map(lambda *ls: group(ls), *p_effs),
+    }
+    if bkeys is not None:
+        stage_tree["k"] = group(bkeys)
+
+    def body(stage, x_mb):
+        for j in range(per):
+            pj = jax.tree_util.tree_map(lambda l: l[j], stage["p"])
+            kj = stage["k"][j] if "k" in stage else None
+            rhs = lambda t, y, _p=pj: _odefunc_apply(cfg, _p, t, y)
+            x_mb, _ = meta_integrate(
+                solvers, rhs, x_mb, solver_options, kj,
+                remat=remat, unroll=unroll,
+            )
+        return x_mb
+
+    return pipeline_apply(
+        body, stage_tree, x, pipeline.mesh,
+        axis=pipeline.axis, n_microbatches=pipeline.microbatches,
+        batch_axis=pipeline.batch_axis,
+    )
+
+
 def _meta_layer_apply(
     cfg, p, s, x, strides, solvers, solver_options, key, train,
     ss_loss, ss_loss_abs, remat, unroll, integration_method="backprop",
+    pipeline=None,
 ):
     s = {"res": list(s["res"]), "ode": list(s["ode"])}
     for i, bp in enumerate(p["res"]):
         x, s["res"][i] = _resblock_apply(cfg, bp, s["res"][i], x, strides[i],
                                          train)
     ss_total = jnp.zeros((), x.dtype)
+
+    num_ode = len(p["ode"])
+    use_pp = (
+        pipeline is not None
+        and num_ode > 1
+        and num_ode % pipeline.stages == 0
+        # ss-loss replay and the adjoint path keep the sequential loop
+        # (per-block aux threading / custom_vjp don't compose with the
+        # shard_map schedule); both fall back transparently — as do
+        # indivisible batches (eval tail batches under drop_last=False)
+        and not ss_loss
+        and integration_method == "backprop"
+        and x.shape[0] % pipeline.microbatches == 0
+    )
+    if use_pp:
+        p_effs = []
+        for i, bp in enumerate(p["ode"]):
+            p_eff, s["ode"][i] = _materialize_odefunc(
+                cfg, bp, s["ode"][i], train
+            )
+            p_effs.append(p_eff)
+        bkeys = None
+        if key is not None:
+            ks = []
+            for _ in range(num_ode):
+                key, bkey = jax.random.split(key)
+                ks.append(bkey)
+            bkeys = ks
+        x = _pipeline_ode_blocks(
+            cfg, p_effs, bkeys, x, solvers, solver_options, remat, unroll,
+            pipeline,
+        )
+        return x, s, ss_total
+
     for i, bp in enumerate(p["ode"]):
         p_eff, s["ode"][i] = _materialize_odefunc(cfg, bp, s["ode"][i], train)
         rhs = lambda t, y, _p=p_eff: _odefunc_apply(cfg, _p, t, y)
@@ -364,8 +440,14 @@ def apply_cifar(
     remat: bool = False,
     unroll: int = 1,
     integration_method: str = "backprop",
+    pipeline=None,
 ) -> Tuple[Array, State, Dict[str, Array]]:
-    """Forward pass. ``x`` NHWC. Returns ``(logits, new_state, aux)``."""
+    """Forward pass. ``x`` NHWC. Returns ``(logits, new_state, aux)``.
+
+    ``pipeline`` (a ``parallel.PipelineConfig``) routes each layer's
+    same-shape ODE-block stack through GPipe over the config's mesh axis
+    when the block count divides the stage count; other layers (and the
+    ss-loss / adjoint paths) keep the sequential loop."""
     nd_bn1, pnd_bn1, act_bn1 = cfg.norm_def(2), cfg.pn_def(2), cfg.act(2)
     new_state: State = dict(state)
 
@@ -390,6 +472,7 @@ def apply_cifar(
             cfg, params[name], state[name], out, _layer_strides(cfg, li),
             solvers, solver_options, lkey, train,
             ss_loss, ss_loss_abs, remat, unroll, integration_method,
+            pipeline,
         )
         ss_total = ss_total + ss
 
@@ -408,7 +491,12 @@ def apply_cifar(
 
 def _registry_cfg(block_type, num_blocks_ode, num_blocks_res, is_odenet,
                   **kw) -> CifarConfig:
-    nb = tuple(num_blocks_ode if is_odenet else num_blocks_res)
+    # an explicit num_blocks override replaces the registry counts —
+    # custom deep ODE stacks (the runner's --num_blocks flag)
+    nb = kw.pop("num_blocks", None)
+    if nb is None:
+        nb = num_blocks_ode if is_odenet else num_blocks_res
+    nb = tuple(tuple(b) for b in nb)
     return CifarConfig(num_blocks=nb, block_type=block_type,
                        is_odenet=is_odenet, **kw)
 

@@ -1,6 +1,6 @@
 """Parallelism: device mesh, dp/tp shardings, ensemble parallelism."""
 from .ensemble import ensemble_integrate, stack_solver_params
-from .pipeline import pipeline_apply, stack_stage_params
+from .pipeline import PipelineConfig, pipeline_apply, stack_stage_params
 from .mesh import (
     batch_sharding,
     host_local_batch_to_global,
@@ -14,6 +14,7 @@ from .mesh import (
 
 __all__ = [
     "ensemble_integrate",
+    "PipelineConfig",
     "pipeline_apply",
     "stack_stage_params",
     "stack_solver_params",

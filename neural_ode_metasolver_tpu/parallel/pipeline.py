@@ -19,14 +19,42 @@ global batch divides n_microbatches * (batch per microbatch).
 """
 from __future__ import annotations
 
+from dataclasses import dataclass
 from functools import partial
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["pipeline_apply", "stack_stage_params"]
+__all__ = ["PipelineConfig", "pipeline_apply", "stack_stage_params"]
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """How a model should pipeline its same-shape ODE-block stacks.
+
+    Passed to ``make_cifar_model(cfg, pipeline=...)`` / ``apply_cifar``:
+    each MetaLayer whose ODE-block count is a positive multiple of the
+    ``axis`` size routes those blocks through :func:`pipeline_apply`
+    (consecutive blocks grouped per stage); other layers fall back to the
+    sequential loop.  ``n_microbatches=0`` means "= axis size".
+    ``batch_axis`` keeps the microbatches' batch dim sharded over that
+    mesh axis (compose pp with data parallelism).
+    """
+
+    mesh: Mesh
+    axis: str = "pp"
+    n_microbatches: int = 0
+    batch_axis: Optional[str] = None
+
+    @property
+    def stages(self) -> int:
+        return self.mesh.shape[self.axis]
+
+    @property
+    def microbatches(self) -> int:
+        return self.n_microbatches or self.stages
 
 
 def stack_stage_params(params_list):
@@ -44,6 +72,7 @@ def pipeline_apply(
     *,
     axis: str = "pp",
     n_microbatches: int,
+    batch_axis: Optional[str] = None,
 ):
     """Run ``y = body(params_S-1, ... body(params_1, body(params_0, x)))``
     pipelined over the ``axis`` dim of ``mesh``.
@@ -53,6 +82,11 @@ def pipeline_apply(
     ``x``'s batch dim must divide evenly into ``n_microbatches``.
     Returns the same result as the sequential composition (same dtype /
     shapes), computed with each stage resident on its own device slice.
+
+    ``batch_axis``: mesh axis the batch dim stays sharded over — pp then
+    composes with data parallelism (each (pp, data) device computes its
+    stage on its local batch shard; ppermute moves activations along pp
+    within a fixed data coordinate).
     """
     S = mesh.shape[axis]
     M = n_microbatches
@@ -111,11 +145,12 @@ def pipeline_apply(
         outs = jax.lax.psum(outs, axis)
         return outs
 
+    mb_spec = P(None, batch_axis) if batch_axis else P()
     shard = partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(axis), P()),
-        out_specs=P(),
+        in_specs=(P(axis), mb_spec),
+        out_specs=mb_spec,
     )
     out = shard(stage_fn)(stacked_params, mb)
     return out.reshape(x.shape[0], *x.shape[1:])

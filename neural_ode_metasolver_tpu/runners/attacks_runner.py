@@ -127,11 +127,23 @@ def main(argv=None):
         # the optimizer must match the saved opt-state structure
         # (reference analog: rebuilding from saved args, attacks_runner.py:65)
         margs = cfg.get("args", {})
-        from ..training import constant_lr
+        from ..training import constant_lr, cyclic_momentum
 
+        momentum = margs.get("momentum", 0.9)
+        if margs.get("optim", "sgd") == "sgd" and margs.get(
+                "cycle_momentum", False):
+            # cifar sgd runs cycle momentum by default (round-3): the
+            # restored opt state carries an inject_hyperparams wrapper
+            # that a constant-momentum template would reject
+            momentum = cyclic_momentum(
+                margs.get("step_size_up", 3186),
+                margs.get("cyclic_lr_mode", "triangular2"),
+                margs.get("base_momentum", 0.8),
+                margs.get("max_momentum", 0.9),
+            )
         tx = make_optimizer(
             margs.get("optim", "sgd"), constant_lr(0.1),  # schedule-state parity
-            momentum=margs.get("momentum", 0.9),
+            momentum=momentum,
             weight_decay=margs.get("weight_decay", 0.0),
             grad_clip=margs.get("grad_clipping_threshold"),
             every_k=margs.get("zero_grad_every", 1),

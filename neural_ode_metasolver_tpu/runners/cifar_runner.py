@@ -156,8 +156,19 @@ def build_parser():
                         "apex-O1 analog; master params stay f32)")
     p.add_argument("--mesh", type=str, default=None,
                    help="multi-chip training: axis spec like 'data=8' or "
-                        "'data=4,model=2' (tp) or 'data=2,sp=2' (spatial); "
-                        "shards the jitted step over a jax.sharding.Mesh")
+                        "'data=4,model=2' (tp) or 'data=2,sp=2' (spatial) "
+                        "or 'data=2,pp=2' (GPipe over same-shape ODE-block "
+                        "stacks — metanode34/premetanode34 or a --num_blocks "
+                        "override); shards the jitted step over a "
+                        "jax.sharding.Mesh")
+    p.add_argument("--pp_microbatches", type=int, default=0,
+                   help="GPipe microbatches per step under --mesh pp= "
+                        "(0 = the pp axis size)")
+    p.add_argument("--num_blocks", type=str, default=None,
+                   help="override the registry's per-stage (res,ode) "
+                        "counts, e.g. '1,2;1,2' for two stages of one res "
+                        "+ two ODE blocks — custom deep ODE stacks (the "
+                        "shape pp pays on)")
     p.add_argument("--prefetch", type=int, default=2,
                    help="batches to device_put ahead of the train step "
                         "(0 disables; overlaps upload with compute)")
@@ -179,10 +190,17 @@ def main(argv=None):
     logger.info(str(vars(args)))
 
     solvers = parse_solver_dsl(args.solvers)
+    nb_override = {}
+    if args.num_blocks:
+        nb_override["num_blocks"] = tuple(
+            tuple(int(v) for v in stage.split(","))
+            for stage in args.num_blocks.strip().split(";")
+        )
     model = build_model(
         args.network,
         is_odenet=args.is_odenet,
         in_planes=args.in_planes,
+        **nb_override,
         norms=(args.normalization_resblock, args.normalization_odeblock,
                args.normalization_bn1),
         num_gn_groups=args.num_gn_groups,

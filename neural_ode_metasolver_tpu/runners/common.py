@@ -50,7 +50,7 @@ def parse_mesh_spec(spec: Optional[str]) -> Optional[dict]:
     if not spec:
         return None
     axes = {}
-    known = ("data", "model", "sp")
+    known = ("data", "model", "sp", "pp")
     for part in spec.split(","):
         name, _, size = part.partition("=")
         name = name.strip()
@@ -217,23 +217,9 @@ def fit(
         jnp.bfloat16 if getattr(args, "precision", "f32") == "bf16" else None
     )
     mesh_spec = parse_mesh_spec(getattr(args, "mesh", None))
-    step = make_train_step(
-        model, tx, solvers, solver_options, attack_cfg, noise_cfg, loss_cfg,
-        compute_dtype=compute_dtype,
-        skip_nonfinite=getattr(args, "skip_nonfinite", False),
-        unroll=getattr(args, "unroll", 1),
-        integration_method=getattr(args, "integration_method", "backprop"),
-        # the mesh path re-jits with explicit shardings below
-        jit_compile=mesh_spec is None,
-        donate=mesh_spec is None,
-    )
-    batch_sh = None
+    mesh = None
     if mesh_spec:
-        from ..parallel import (
-            batch_sharding,
-            make_mesh,
-            make_parallel_train_step,
-        )
+        from ..parallel import make_mesh
 
         sizes = list(mesh_spec.values())
         devices = None
@@ -250,6 +236,49 @@ def fit(
                 f"batch_size {args.batch_size} must be divisible by the "
                 f"data axis size ({mesh.shape['data']})"
             )
+        if "pp" in mesh_spec:
+            # rebuild the model so same-shape ODE-block stacks route
+            # through the GPipe combinator over the pp axis (layers whose
+            # block count doesn't divide the stage count, and the
+            # ss-loss/adjoint paths, fall back to the sequential loop)
+            from ..models.api import make_cifar_model
+            from ..parallel import PipelineConfig
+
+            if not hasattr(model.cfg, "num_blocks"):
+                raise ValueError(
+                    "--mesh pp= needs a cifar-family model (stacked "
+                    "same-shape ODE blocks); the MNIST net has one block"
+                )
+            mb = getattr(args, "pp_microbatches", 0)
+            pcfg = PipelineConfig(
+                mesh=mesh, axis="pp", n_microbatches=mb, batch_axis="data"
+            )
+            per_mb = getattr(args, "batch_size", 0) // pcfg.microbatches
+            if (getattr(args, "batch_size", 0) % pcfg.microbatches
+                    or per_mb % mesh.shape["data"]):
+                raise ValueError(
+                    f"batch_size {args.batch_size} must split into "
+                    f"{pcfg.microbatches} microbatches each divisible by "
+                    f"the data axis size ({mesh.shape['data']})"
+                )
+            model = make_cifar_model(model.cfg, pipeline=pcfg)
+    step = make_train_step(
+        model, tx, solvers, solver_options, attack_cfg, noise_cfg, loss_cfg,
+        compute_dtype=compute_dtype,
+        skip_nonfinite=getattr(args, "skip_nonfinite", False),
+        unroll=getattr(args, "unroll", 1),
+        integration_method=getattr(args, "integration_method", "backprop"),
+        # the mesh path re-jits with explicit shardings below
+        jit_compile=mesh_spec is None,
+        donate=mesh_spec is None,
+    )
+    batch_sh = None
+    if mesh_spec:
+        from ..parallel import (
+            batch_sharding,
+            make_parallel_train_step,
+        )
+
         step = make_parallel_train_step(
             step, mesh, ts, data_axis="data",
             model_axis="model" if "model" in mesh_spec else None,

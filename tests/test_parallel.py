@@ -555,3 +555,90 @@ def test_two_process_distributed_data_parallel_matches_single():
         single["param_checksum"], rel=1e-6)
     np.testing.assert_allclose(r0["param_head"], single["param_head"],
                                rtol=1e-6)
+
+
+def _pp_models_and_data(solver_mode="standalone", n_solvers=1):
+    """A custom deep stack (two stages x two same-shape ODE blocks — the
+    shape pp pays on) built twice: sequential and pipelined over a
+    data=2,pp=2 mesh."""
+    from neural_ode_metasolver_tpu.models.api import make_cifar_model
+    from neural_ode_metasolver_tpu.models.odenet_cifar10 import CifarConfig
+    from neural_ode_metasolver_tpu.parallel import PipelineConfig
+
+    cfg = CifarConfig(num_blocks=((1, 2), (1, 2)), block_type="prebasic",
+                      in_planes=8)
+    mesh = make_mesh({"data": 2, "pp": 2}, jax.devices()[:4])
+    pcfg = PipelineConfig(mesh=mesh, axis="pp", n_microbatches=2,
+                          batch_axis="data")
+    seq = make_cifar_model(cfg)
+    pp = make_cifar_model(cfg, pipeline=pcfg)
+    solvers = [create_solver("rk2", "u", n_steps=2, u0=0.5 + 0.2 * i)
+               for i in range(n_solvers)]
+    opts = SolverOptions(solver_mode=solver_mode)
+    x = jnp.asarray(
+        np.random.RandomState(3).rand(8, 32, 32, 3).astype(np.float32))
+    y = jnp.asarray(np.arange(8) % 10)
+    return seq, pp, mesh, solvers, opts, x, y
+
+
+def test_pp_train_step_matches_sequential():
+    """A FULL train step (forward + param grads + sgd update) through the
+    GPipe-routed deep stack must reproduce the sequential model: same
+    loss, same updated params (VERDICT round-2 item 5)."""
+    seq, pp, mesh, solvers, opts, x, y = _pp_models_and_data()
+    tx = make_optimizer("sgd", 0.05, momentum=0.9)
+
+    def run(model, parallel):
+        ts = create_train_state(model, tx, jax.random.key(0))
+        raw = make_train_step(model, tx, solvers, opts,
+                              jit_compile=not parallel,
+                              donate=False)
+        if parallel:
+            raw = make_parallel_train_step(
+                make_train_step(model, tx, solvers, opts,
+                                jit_compile=False, donate=False),
+                mesh, ts,
+            )
+        ts2, m = raw(ts, x, y, jax.random.key(9))
+        return ts2, m
+
+    ts_seq, m_seq = run(seq, False)
+    ts_pp, m_pp = run(pp, True)
+    assert float(m_seq["loss"]) == pytest.approx(float(m_pp["loss"]),
+                                                 abs=1e-6)
+    d = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        ts_seq.params, ts_pp.params,
+    )
+    assert max(jax.tree_util.tree_leaves(d)) < 1e-6
+
+
+def test_pp_switch_mode_key_parity():
+    """Per-block PRNG keys under pp are split in the same order as the
+    sequential loop, so the switch regime's random solver choices — and
+    hence the logits — must match exactly."""
+    seq, pp, mesh, solvers, opts, x, y = _pp_models_and_data(
+        solver_mode="switch", n_solvers=2)
+    params, state = seq.init(jax.random.key(0))
+    for trial in range(3):
+        k = jax.random.key(100 + trial)
+        l_seq, _, _ = seq.apply(params, state, x, solvers, opts, key=k)
+        l_pp, _, _ = pp.apply(params, state, x, solvers, opts, key=k)
+        np.testing.assert_allclose(np.asarray(l_seq), np.asarray(l_pp),
+                                   atol=1e-6)
+
+
+def test_pp_fallbacks_are_sequential():
+    """Indivisible batches (eval tail), ss-loss, and single-block layers
+    fall back to the sequential loop transparently."""
+    seq, pp, mesh, solvers, opts, x, y = _pp_models_and_data()
+    params, state = seq.init(jax.random.key(0))
+    # tail batch of 5: 5 % 2 microbatches != 0 -> sequential path, equal
+    xt = x[:5]
+    l_seq, _, _ = seq.apply(params, state, xt, solvers, opts)
+    l_pp, _, _ = pp.apply(params, state, xt, solvers, opts)
+    np.testing.assert_allclose(np.asarray(l_seq), np.asarray(l_pp),
+                               atol=0)
+    # ss-loss path: runs (sequentially) and returns a finite scalar
+    l2, _, aux = pp.apply(params, state, x, solvers, opts, ss_loss=True)
+    assert np.isfinite(float(aux["ss_loss"]))
