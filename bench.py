@@ -124,11 +124,39 @@ def main():
             json.dump({"metric": "premetanode10_advtrain_img_per_s",
                        "value": img_per_s}, f)
 
+    # Self-reported roofline fields (VERDICT r2 item 6a): XLA cost
+    # analysis of the compiled step -> achieved TFLOP/s, MFU vs the
+    # chip's bf16 peak, and HBM GB/s, so each round's BENCH json carries
+    # the efficiency story without excavating SCALING.md.
+    extra = {}
+    try:
+        ts0 = create_train_state(model, tx, jax.random.key(0))
+        ca = step.lower(
+            ts0, x, y, jax.random.key(10)
+        ).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        nbytes = float(ca.get("bytes accessed", 0.0))
+        kind = jax.devices()[0].device_kind.lower()
+        # bf16 peak TFLOP/s per chip (public specs)
+        peaks = {"v6": 918e12, "v5p": 459e12, "v5e": 197e12,
+                 "v5 lite": 197e12, "v4": 275e12}
+        peak = next((v for k, v in peaks.items() if k in kind), None)
+        extra["tflops"] = round(flops / dt / 1e12, 1)
+        extra["hbm_gbps"] = round(nbytes / dt / 1e9, 1)
+        if peak:
+            extra["mfu_pct"] = round(100.0 * flops / dt / peak, 1)
+        extra["device_kind"] = jax.devices()[0].device_kind
+    except Exception as e:  # cost analysis is best-effort reporting
+        extra["cost_analysis_error"] = repr(e)[:120]
+
     print(json.dumps({
         "metric": "premetanode10_fgsm_random_advtrain_throughput",
         "value": round(img_per_s, 1),
         "unit": "img/s",
         "vs_baseline": round(vs, 3),
+        **extra,
     }))
 
 

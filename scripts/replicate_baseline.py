@@ -1,0 +1,309 @@
+"""One-command BASELINE.md replication driver.
+
+Runs the full reference parity matrix (BASELINE.md; reference artifacts
+``/root/reference/examples/cifar10/checkpoints/accuracy/*.pkl``,
+README.md:52-66):
+
+    3 seeds x {standalone, smoothing} FGSM-random adversarial training of
+    premetanode10 (8-step RK2, cyclic LR triangular2, 36 epochs)
+      -> clean / FGSM(8/255) / PGD(8/255, 2/255, 7) test accuracy
+      -> sn_test step-count sweep written as reference-schema pickles
+      -> delta table vs the BASELINE.md values with a 0.5% pass/fail bar
+
+Usage:
+    python scripts/replicate_baseline.py --data_root /path/to/cifar10
+    python scripts/replicate_baseline.py --subset smoke   # prove the
+        driver end-to-end on synthetic data in minutes (reduced epochs /
+        steps grid; deltas reported as informational — the 0.5% bar only
+        means something on real CIFAR-10)
+
+Outputs under --out_dir (default results/baseline_replication):
+    <arm>_seed<k>/            runner save_dirs (checkpoints, metrics.jsonl)
+    accuracy/<arm>_<mode>.pkl reference-schema step-sweep tables (+ .csv)
+    report.json, report.md    the delta table and pass/fail verdict
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# BASELINE.md values at 8 steps, one per seed (pkl row order).
+BASELINE = {
+    ("standalone", "clean"): [0.8253, 0.8214, 0.8263],
+    ("standalone", "fgsm"): [0.4047, 0.4107, 0.4067],
+    ("standalone", "pgd"): [0.3534, 0.3617, 0.3554],
+    ("smoothing", "clean"): [0.8293, 0.8279, 0.8283],
+    ("smoothing", "fgsm"): [0.4131, 0.4162, 0.4125],
+    ("smoothing", "pgd"): [0.3623, 0.3665, 0.3634],
+}
+PASS_BAR = 0.005  # BASELINE.json north star: within 0.5%
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data_root", type=str, default=None,
+                   help="CIFAR-10 root (cifar-10-batches-py layout); "
+                        "omit with --subset smoke for synthetic data")
+    p.add_argument("--subset", choices=["full", "smoke"], default="full")
+    p.add_argument("--out_dir", type=str,
+                   default="results/baseline_replication")
+    p.add_argument("--seeds", type=lambda s: [int(v) for v in s.split(",")],
+                   default=None, help="default: 602,603,604 (full) / "
+                                      "602 (smoke)")
+    p.add_argument("--arms", type=lambda s: s.split(","),
+                   default=["standalone", "smoothing"])
+    p.add_argument("--nepochs", type=int, default=None,
+                   help="override epochs (default 36 full / 1 smoke)")
+    p.add_argument("--precision", default=None,
+                   choices=[None, "f32", "bf16"],
+                   help="default f32 (parity); bf16 for ~1.8x faster runs")
+    p.add_argument("--eval_batches", type=int, default=None,
+                   help="cap eval batches (smoke uses 2)")
+    p.add_argument("--skip_training", action="store_true",
+                   help="reuse existing checkpoints under --out_dir")
+    p.add_argument("--force_cpu", action="store_true",
+                   help="run on the local 8-device virtual CPU mesh "
+                        "(smoke does this automatically)")
+    return p.parse_args(argv)
+
+
+def train_arm(arm, seed, save_dir, args):
+    from neural_ode_metasolver_tpu.runners import cifar_runner
+
+    smoke = args.subset == "smoke"
+    argv = [
+        "--network", "premetanode10",
+        "--solvers", ("rk2,u,2,-1,0.5,-1" if smoke
+                      else "rk2,u,8,-1,0.5,-1"),
+        "--adv_training_mode", "fgsm_random",
+        "--adv_testing_mode", "clean",
+        "--seed", str(seed),
+        "--nepochs", str(args.nepochs or (1 if smoke else 36)),
+        "--save_dir", save_dir,
+        "--precision", args.precision or "f32",
+    ]
+    if arm == "smoothing":
+        argv += ["--noise_type", "normal", "--noise_sigma", "0.0125",
+                 "--noise_prob", "1.0"]
+    if smoke:
+        argv += ["--in_planes", "8", "--batch_size", "32",
+                 "--test_batch_size", "32",
+                 "--synthetic_train_size", "64",
+                 "--synthetic_test_size", "32",
+                 "--val_perc", "0.25",
+                 "--step_size_up", "4"]
+    if args.data_root:
+        argv += ["--data_root", args.data_root]
+    cifar_runner.main(argv)
+
+
+def eval_arm(arm, seed, save_dir, args, steps_grid):
+    """clean/FGSM/PGD accuracy across the step grid for one checkpoint.
+
+    Returns ``{mode: [acc per step]}`` aligned with ``steps_grid``."""
+    import itertools
+
+    import jax
+
+    from neural_ode_metasolver_tpu.data import (
+        CIFAR10_MEAN,
+        CIFAR10_STD,
+        batch_iterator,
+        load_cifar10,
+        synthetic_dataset,
+    )
+    from neural_ode_metasolver_tpu.ops import (
+        SolverOptions,
+        parse_solver_dsl,
+    )
+    from neural_ode_metasolver_tpu.runners.attacks_runner import (
+        _model_from_config,
+        _rebuild,
+    )
+    from neural_ode_metasolver_tpu.runners.common import parse_mesh_spec  # noqa: F401
+    from neural_ode_metasolver_tpu.training import (
+        AttackConfig,
+        accuracy,
+        adversarial_accuracy,
+        constant_lr,
+        create_train_state,
+        cyclic_momentum,
+        make_optimizer,
+        restore_checkpoint,
+    )
+
+    import glob as _glob
+
+    step_dirs = sorted(_glob.glob(os.path.join(save_dir, "last", "step_*")))
+    if not step_dirs:
+        raise FileNotFoundError(f"no checkpoint under {save_dir}/last")
+    cfg = _rebuild(step_dirs[-1])
+    model, mean, std, shape = _model_from_config(cfg)
+    solvers = parse_solver_dsl(cfg["solvers"])
+    margs = cfg.get("args", {})
+    momentum = margs.get("momentum", 0.9)
+    if margs.get("optim", "sgd") == "sgd" and margs.get("cycle_momentum",
+                                                        False):
+        momentum = cyclic_momentum(
+            margs.get("step_size_up", 3186),
+            margs.get("cyclic_lr_mode", "triangular2"),
+            margs.get("base_momentum", 0.8),
+            margs.get("max_momentum", 0.9),
+        )
+    tx = make_optimizer(
+        margs.get("optim", "sgd"), constant_lr(0.1), momentum=momentum,
+        weight_decay=margs.get("weight_decay", 0.0),
+        grad_clip=margs.get("grad_clipping_threshold"),
+        every_k=margs.get("zero_grad_every", 1),
+        nonfinite_backoff=margs.get("nan_backoff"),
+    )
+    template = create_train_state(model, tx, jax.random.key(0))
+    ts, _ = restore_checkpoint(os.path.join(save_dir, "last"), template)
+
+    if args.data_root:
+        ds = load_cifar10(args.data_root, train=False)
+    else:
+        ds = synthetic_dataset(256 if args.subset == "smoke" else 1024,
+                               shape, seed=seed + 1)
+    max_batches = args.eval_batches or (
+        2 if args.subset == "smoke" else None)
+
+    def data():
+        it = batch_iterator(ds, margs.get("test_batch_size", 256),
+                            shuffle=False, drop_last=False,
+                            mean=CIFAR10_MEAN, std=CIFAR10_STD)
+        return itertools.islice(it, max_batches) if max_batches else it
+
+    opts = SolverOptions()
+    attack_cfgs = {
+        "clean": None,
+        "fgsm": AttackConfig(mode="fgsm", eps=8 / 255,
+                             mean=CIFAR10_MEAN, std=CIFAR10_STD),
+        "pgd": AttackConfig(mode="at", eps=8 / 255, pgd_lr=2 / 255,
+                            pgd_niter=7, mean=CIFAR10_MEAN,
+                            std=CIFAR10_STD),
+    }
+    out = {m: [] for m in attack_cfgs}
+    for n in steps_grid:
+        # the sn_test re-grid semantics (metrics.py:27-41): the TRAINED
+        # params evaluated under a solver with a different step count
+        s = solvers[0].replace(n_steps=int(n), step_size=None,
+                               custom_grid=None)
+        for mode, acfg in attack_cfgs.items():
+            if acfg is None:
+                acc = accuracy(model, ts.params, ts.model_state, [s], opts,
+                               data())
+            else:
+                acc = adversarial_accuracy(
+                    model, ts.params, ts.model_state, [s], opts, data(),
+                    acfg, jax.random.key(1000 + seed),
+                )
+            out[mode].append(float(acc))
+            print(f"  [{arm} seed={seed}] steps={n} {mode}: {acc:.4f}",
+                  flush=True)
+    return out
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    smoke = args.subset == "smoke"
+    if smoke or args.force_cpu:
+        # prove the plumbing on the fast local CPU mesh; full parity runs
+        # keep the default (TPU) backend.  Must precede any jax import —
+        # the env's sitecustomize force-registers the remote TPU backend
+        # and only the config knob overrides it (CLAUDE.md).
+        os.environ.setdefault(
+            "XLA_FLAGS", "--xla_force_host_platform_device_count=8"
+        )
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_compilation_cache_dir", ".jax_cache_cpu")
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 1.0
+        )
+    seeds = args.seeds or ([602] if smoke else [602, 603, 604])
+    steps_grid = [1, 2] if smoke else [1, 2, 4, 6, 8, 10, 12, 14, 16]
+    ref_step = steps_grid[-1] if smoke else 8
+    if not smoke and not args.data_root:
+        raise SystemExit(
+            "--subset full needs --data_root with real CIFAR-10 "
+            "(use --subset smoke to prove the driver on synthetic data)"
+        )
+
+    from neural_ode_metasolver_tpu.training.accuracy_tables import (
+        save_accuracy_table,
+    )
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    tables = {}  # (arm, mode) -> rows (one per seed)
+    for arm in args.arms:
+        for seed in seeds:
+            save_dir = os.path.join(args.out_dir, f"{arm}_seed{seed}")
+            if not (args.skip_training
+                    and os.path.isdir(os.path.join(save_dir, "last"))):
+                print(f"== training {arm} seed={seed} ==", flush=True)
+                train_arm(arm, seed, save_dir, args)
+            print(f"== evaluating {arm} seed={seed} ==", flush=True)
+            accs = eval_arm(arm, seed, save_dir, args, steps_grid)
+            for mode, row in accs.items():
+                tables.setdefault((arm, mode), []).append(row)
+
+    acc_dir = os.path.join(args.out_dir, "accuracy")
+    report = {"subset": args.subset, "seeds": seeds,
+              "steps_grid": steps_grid, "rows": []}
+    lines = [
+        "# BASELINE replication report",
+        "",
+        f"subset={args.subset} seeds={seeds} steps_grid={steps_grid}",
+        "",
+        "| arm | mode | ours @8 steps (per seed) | reference | max delta |"
+        " pass (<=0.5%) |",
+        "|---|---|---|---|---|---|",
+    ]
+    overall_pass = True
+    for (arm, mode), rows in tables.items():
+        save_accuracy_table(
+            os.path.join(acc_dir, f"fgsm_random_8_255_"
+                         f"{'smoothing_00125_' if arm == 'smoothing' else ''}"
+                         f"{mode}.pkl"),
+            rows, steps_grid,
+        )
+        at8 = [row[steps_grid.index(ref_step)] for row in rows]
+        ref = BASELINE.get((arm, mode))
+        if ref is None:
+            continue
+        deltas = [abs(a - r) for a, r in zip(at8, ref[:len(at8)])]
+        ok = max(deltas) <= PASS_BAR
+        if not smoke:
+            overall_pass = overall_pass and ok
+        report["rows"].append({
+            "arm": arm, "mode": mode, "ours_at_ref_steps": at8,
+            "reference": ref, "max_delta": max(deltas),
+            "pass": ok if not smoke else None,
+        })
+        lines.append(
+            f"| {arm} | {mode} | "
+            f"{' / '.join(f'{a:.4f}' for a in at8)} | "
+            f"{' / '.join(f'{r:.4f}' for r in ref[:len(at8)])} | "
+            f"{max(deltas):.4f} | "
+            f"{'n/a (smoke)' if smoke else ('PASS' if ok else 'FAIL')} |"
+        )
+    report["overall_pass"] = None if smoke else overall_pass
+    lines += ["", ("Smoke run: deltas are informational (synthetic data); "
+                   "the 0.5% bar applies to real CIFAR-10 runs only."
+                   if smoke else
+                   f"Overall: "
+                   f"{'PASS' if overall_pass else 'FAIL'} vs the 0.5% bar.")]
+    with open(os.path.join(args.out_dir, "report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    with open(os.path.join(args.out_dir, "report.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+    return report
+
+
+if __name__ == "__main__":
+    main()

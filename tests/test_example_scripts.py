@@ -38,3 +38,33 @@ def test_cifar10_build_and_evaluate_script():
 def test_learn_solver_coefficient_script():
     out = _run("learn_solver_coefficient.py", ["--steps", "10"])
     assert "u" in out.lower()
+
+
+def test_replicate_baseline_smoke_driver(tmp_path):
+    """The one-command BASELINE replication driver (VERDICT r2 item 2)
+    proves itself end to end in --subset smoke: trains one arm on
+    synthetic data, evaluates clean/FGSM/PGD over the step grid, and
+    emits the reference-schema pickles plus the delta report."""
+    import json
+
+    out_dir = str(tmp_path / "rep")
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts",
+                                      "replicate_baseline.py"),
+         "--subset", "smoke", "--out_dir", out_dir,
+         "--arms", "standalone", "--eval_batches", "1"],
+        cwd=REPO, env=dict(os.environ), capture_output=True, text=True,
+        timeout=540,
+    )
+    assert res.returncode == 0, (res.stdout[-2000:], res.stderr[-2000:])
+    report = json.load(open(os.path.join(out_dir, "report.json")))
+    assert report["overall_pass"] is None  # informational on smoke
+    modes = {r["mode"] for r in report["rows"]}
+    assert modes == {"clean", "fgsm", "pgd"}
+    from neural_ode_metasolver_tpu.training.accuracy_tables import (
+        load_accuracy_table,
+    )
+    t = load_accuracy_table(
+        os.path.join(out_dir, "accuracy", "fgsm_random_8_255_clean.pkl"))
+    assert t["steps_arr"] == [1, 2] and len(t["accs"]) == 1
+    assert os.path.exists(os.path.join(out_dir, "report.md"))
