@@ -66,3 +66,22 @@ def test_fused_gn_bf16_io():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=3e-2
     )
+
+
+def test_im2col_gemm_conv_matches_xla():
+    """Aligned im2col/GEMM conv (ops/pallas_im2col.py): interpret-mode
+    numerics vs the XLA conv emitter, incl. the K/Cout 128-padding."""
+    import numpy as np
+
+    from neural_ode_metasolver_tpu.ops.pallas_im2col import (
+        conv3x3_im2col_gemm,
+        reference_conv3x3,
+    )
+
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(2, 8, 8, 24).astype(np.float32))
+    w = jnp.asarray((rs.randn(3, 3, 24, 40) * 0.1).astype(np.float32))
+    ref = reference_conv3x3(x, w)
+    got = conv3x3_im2col_gemm(x, w, m_tile=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5)
