@@ -256,6 +256,10 @@ def _fit_with_trainable_solvers(model, solvers, tx, args, logger,
     key = jax.random.key(args.seed)
     key, k_init = jax.random.split(key)
     ts = create_solver_train_state(model, tx, solver_tx, solvers, k_init)
+    from ..training.logging import MetricsLogger
+
+    mlog = MetricsLogger(args.save_dir, config=config) if args.save_dir \
+        else None
     for epoch in range(args.nepochs):
         losses = []
         for x, y in train_data(epoch):
@@ -274,6 +278,15 @@ def _fit_with_trainable_solvers(model, solvers, tx, args, logger,
             f"epoch {epoch} | loss {np.mean(losses):.4f} | acc {acc:.4f} | "
             f"u = {us}"
         )
+        if mlog:
+            rec = {"epoch": epoch, "train_loss": float(np.mean(losses)),
+                   "accuracy": float(acc)}
+            for i, s in enumerate(cur):
+                if s.u is not None:
+                    rec[f"solver{i}_u"] = float(s.u)
+                if s.v is not None:
+                    rec[f"solver{i}_v"] = float(s.v)
+            mlog.log(rec, step=int(ts.step))
     if args.save_dir:
         save_checkpoint(os.path.join(args.save_dir, "solver_trained"), ts,
                         config)

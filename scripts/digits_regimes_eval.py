@@ -45,6 +45,13 @@ def main():
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--nepochs", type=int, default=36)
     p.add_argument("--eps", type=float, default=0.3)
+    p.add_argument("--steps_grid",
+                   type=lambda s: [int(i) for i in s.split(",")]
+                   if s else [],
+                   default=[1, 2, 4, 8],
+                   help="extra clean-accuracy step-count sweep per regime "
+                        "(sn_test semantics; '' disables) — the full "
+                        "Evaluate-notebook grid, cells 13-28")
     p.add_argument("--output_csv", type=str,
                    default="results/digits_regimes.csv")
     args = p.parse_args()
@@ -75,10 +82,24 @@ def main():
     fgsm = AttackConfig(mode="fgsm", eps=args.eps)
     P, S = ts.params, ts.model_state
     rows = []
+    sweep_cols = [f"clean_acc@{n}" for n in args.steps_grid]
 
-    def record(regime, clean, adv):
-        print(f"{regime:22s} clean={clean:.4f} fgsm={adv:.4f}", flush=True)
-        rows.append({"regime": regime, "clean_acc": clean, "fgsm_acc": adv})
+    def regrid(s, n):
+        # sn_test re-grid semantics (odenet_mnist/metrics.py:27-41)
+        return s.replace(n_steps=int(n), step_size=None, custom_grid=None)
+
+    def record(regime, clean, adv, clean_at_steps=None):
+        row = {"regime": regime, "clean_acc": clean, "fgsm_acc": adv}
+        sweep = ""
+        if clean_at_steps is not None:
+            for n in args.steps_grid:
+                row[f"clean_acc@{n}"] = clean_at_steps(n)
+            sweep = "  " + " ".join(
+                f"@{n}={row[f'clean_acc@{n}']:.4f}" for n in args.steps_grid
+            )
+        print(f"{regime:22s} clean={clean:.4f} fgsm={adv:.4f}{sweep}",
+              flush=True)
+        rows.append(row)
 
     # 1. standalone
     record(
@@ -86,6 +107,7 @@ def main():
         accuracy(model, P, S, [s05], opts, data()),
         adversarial_accuracy(model, P, S, [s05], opts, data(), fgsm,
                              jax.random.key(10)),
+        lambda n: accuracy(model, P, S, [regrid(s05, n)], opts, data()),
     )
     # 2. solver switching [0.6, 0.4]
     sw = SolverOptions(solver_mode="switch", switch_probs=[0.6, 0.4])
@@ -94,6 +116,9 @@ def main():
         accuracy(model, P, S, [s05, s10], sw, data(), key=jax.random.key(11)),
         adversarial_accuracy(model, P, S, [s05, s10], sw, data(), fgsm,
                              jax.random.key(12)),
+        lambda n: accuracy(model, P, S,
+                           [regrid(s05, n), regrid(s10, n)], sw, data(),
+                           key=jax.random.key(11)),
     )
     # 3. solver ensembling [0.6, 0.4]
     en = SolverOptions(solver_mode="ensemble", ensemble_prob=1.0,
@@ -103,6 +128,9 @@ def main():
         accuracy(model, P, S, [s05, s10], en, data(), key=jax.random.key(13)),
         adversarial_accuracy(model, P, S, [s05, s10], en, data(), fgsm,
                              jax.random.key(14)),
+        lambda n: accuracy(model, P, S,
+                           [regrid(s05, n), regrid(s10, n)], en, data(),
+                           key=jax.random.key(13)),
     )
     # 4. model ensembling over noised solvers (sigma=0.2 normal)
     noised = solver_ensemble_by_noising(s05, jax.random.key(15),
@@ -114,11 +142,18 @@ def main():
         accuracy_ensemble(model, members, data()),
         adversarial_accuracy_ensemble(model, members, data(), fgsm,
                                       jax.random.key(16)),
+        lambda n: accuracy_ensemble(
+            model,
+            [(P, S, [regrid(s, n)], SolverOptions()) for s in noised],
+            data(),
+        ),
     )
 
     os.makedirs(os.path.dirname(args.output_csv) or ".", exist_ok=True)
     with open(args.output_csv, "w", newline="") as f:
-        w = csv.DictWriter(f, fieldnames=["regime", "clean_acc", "fgsm_acc"])
+        w = csv.DictWriter(
+            f, fieldnames=["regime", "clean_acc", "fgsm_acc"] + sweep_cols
+        )
         w.writeheader()
         w.writerows(rows)
     print("wrote", args.output_csv)

@@ -8,6 +8,14 @@ CONFIG_PGD_TRAIN, train_validate.py:16) of the MNIST MetaNODE
 with an 8-step RK2(u=0.5) solver, with and without smoothing
 (Normal sigma=0.0125, prob=1), then clean + PGD(0.3, 2/255, 7) eval.
 
+Common random numbers across arms (paired design): for a given seed both
+arms replay the IDENTICAL PRNG chain — same init key, same batch order,
+same per-batch step key, hence same attack draws (the step splits its key
+as (noise, attack, attack-fwd, fwd, data); the standalone arm simply never
+consumes the noise subkey) — so the per-seed difference isolates the
+smoothing draw's effect, and the script reports the PAIRED mean
+difference with a t-interval, not just per-arm spreads.
+
   python scripts/digits_smoothing_experiment.py --seeds 1,2,3 --nepochs 12
 """
 import argparse
@@ -108,6 +116,32 @@ def main():
         w.writeheader()
         w.writerows(rows)
     print("wrote", args.output_csv)
+
+    # Paired analysis: the arms share all randomness except the smoothing
+    # draw (see module docstring), so per-seed differences are the CRN
+    # estimator of the smoothing effect.
+    by = {(r["regime"], r["seed"]): r for r in rows}
+    import math
+
+    for metric in ("clean_acc", "robust_acc"):
+        diffs = [by[("smoothing", s)][metric] - by[("standalone", s)][metric]
+                 for s in args.seeds
+                 if ("smoothing", s) in by and ("standalone", s) in by]
+        n = len(diffs)
+        if n < 2:
+            continue
+        mean = sum(diffs) / n
+        sd = math.sqrt(sum((d - mean) ** 2 for d in diffs) / (n - 1))
+        se = sd / math.sqrt(n)
+        # two-sided 95% t quantiles for small n (df = n-1)
+        tq = {1: 12.71, 2: 4.30, 3: 3.18, 4: 2.78, 5: 2.57, 6: 2.45,
+              7: 2.36, 8: 2.31, 9: 2.26, 10: 2.23, 11: 2.20, 14: 2.14,
+              19: 2.09, 23: 2.07, 29: 2.05}
+        t = tq.get(n - 1, 2.0 if n > 30 else 2.07)
+        wins = sum(d > 0 for d in diffs)
+        print(f"paired {metric}: smoothing-standalone = {mean:+.4f} "
+              f"+- {t * se:.4f} (95% t, n={n}; sd={sd:.4f}; "
+              f"{wins}/{n} seeds favor smoothing)", flush=True)
 
 
 if __name__ == "__main__":
