@@ -163,26 +163,101 @@ def _ensemble_members(model, members):
     return make_fwd
 
 
+def _homogeneous_solver_members(members):
+    """Detect the ensemble-by-noising shape: every member shares params/
+    state/options and carries ONE solver differing only in (u, v).
+    Returns (params, state, options, ref_solver, u_stack, v_stack) or
+    None."""
+    p0, s0, sol0, o0 = members[0]
+    if len(sol0) != 1:
+        return None
+    for p, s, sol, o in members[1:]:
+        if p is not p0 or s is not s0 or o != o0 or len(sol) != 1:
+            return None
+    from ..parallel.ensemble import stack_solver_params
+
+    try:
+        ref, u, v = stack_solver_params([m[2][0] for m in members])
+    except ValueError:
+        return None
+    return p0, s0, o0, ref, u, v
+
+
+def _vmapped_member_probs(model, homo, mesh, member_axis):
+    """Jitted ``probs(x, keys) -> (n_members, B, n_classes)`` vmapped over
+    the stacked solver coefficients, member axis sharded over ``mesh`` —
+    each member's full ODE solve runs on its own mesh slice
+    (parallel/ensemble.py's layout, reaching the eval harness)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    params, state, options, ref, u_stack, v_stack = homo
+
+    def probs_fn(x, keys):
+        def member(u_i, v_i, k):
+            s = ref.replace(u=u_i) if v_stack is None else ref.replace(
+                u=u_i, v=v_i)
+            logits, _, _ = model.apply(params, state, x, [s], options,
+                                       key=k, train=False)
+            return jax.nn.softmax(logits, axis=-1)
+
+        if v_stack is None:
+            probs = jax.vmap(lambda ui, k: member(ui, None, k))(
+                u_stack, keys)
+        else:
+            probs = jax.vmap(member)(u_stack, v_stack, keys)
+        if mesh is not None:
+            probs = jax.lax.with_sharding_constraint(
+                probs, NamedSharding(mesh, P(member_axis)))
+        return probs
+
+    return probs_fn
+
+
 def accuracy_ensemble(
     model: Model,
     members: Sequence[Tuple],
     data,
     key: Optional[Array] = None,
+    *,
+    mesh=None,
+    member_axis: str = "ensemble",
 ) -> float:
     """Softmax-prob-averaged ensemble accuracy (Evaluate nb cell 25).
 
-    ``members``: list of (params, state, solvers, solver_options)."""
-    make_fwd = _ensemble_members(model, members)
+    ``members``: list of (params, state, solvers, solver_options).
 
-    @jax.jit
-    def probs_fn(x, keys):
-        probs = None
-        for (params, state, solvers, options), k in zip(members, keys):
-            p = jax.nn.softmax(
-                make_fwd(params, state, solvers, options, k)(x), axis=-1
+    ``mesh``: shard the member axis over this mesh axis instead of looping
+    members sequentially — each member's full ODE solve runs on its own
+    device slice (ensemble parallelism reaching the eval harness).
+    Requires the ensemble-by-noising shape: shared params/state/options,
+    one solver per member differing only in (u, v)."""
+    if mesh is not None:
+        homo = _homogeneous_solver_members(members)
+        if homo is None:
+            raise ValueError(
+                "mesh-sharded ensemble eval needs homogeneous members "
+                "(same params/state/options, one solver varying only in "
+                "u/v — what solver_ensemble_by_noising produces)"
             )
-            probs = p if probs is None else probs + p
-        return probs / len(members)
+        vprobs = jax.jit(_vmapped_member_probs(model, homo, mesh,
+                                               member_axis))
+
+        def probs_fn(x, keys):
+            keys = (jnp.stack(keys) if keys[0] is not None
+                    else jax.random.split(jax.random.key(0), len(members)))
+            return jnp.mean(vprobs(x, keys), axis=0)
+    else:
+        make_fwd = _ensemble_members(model, members)
+
+        @jax.jit
+        def probs_fn(x, keys):
+            probs = None
+            for (params, state, solvers, options), k in zip(members, keys):
+                p = jax.nn.softmax(
+                    make_fwd(params, state, solvers, options, k)(x), axis=-1
+                )
+                probs = p if probs is None else probs + p
+            return probs / len(members)
 
     counts = []
     total = 0
@@ -204,8 +279,55 @@ def adversarial_accuracy_ensemble(
     data,
     attack_cfg: AttackConfig,
     key: Array,
+    *,
+    mesh=None,
+    member_axis: str = "ensemble",
 ) -> float:
-    """FGSM2Ensemble attack + prob-averaged eval (nb cell 25; fgsm.py:109-155)."""
+    """FGSM2Ensemble attack + prob-averaged eval (nb cell 25; fgsm.py:109-155).
+
+    ``mesh``: member-axis-sharded variant (see :func:`accuracy_ensemble`);
+    the joint ensemble attack differentiates through the vmapped
+    prob-average, mathematically identical to fgsm2ensemble's
+    log-mean-prob NLL."""
+    if mesh is not None:
+        homo = _homogeneous_solver_members(members)
+        if homo is None:
+            raise ValueError(
+                "mesh-sharded ensemble eval needs homogeneous members "
+                "(same params/state/options, one solver varying only in "
+                "u/v — what solver_ensemble_by_noising produces)"
+            )
+        vprobs = _vmapped_member_probs(model, homo, mesh, member_axis)
+        from ..attacks import inv_normalize, normalize
+
+        @jax.jit
+        def attacked_probs(x, y, keys):
+            keys = jnp.stack(keys)
+            mean, std = attack_cfg.mean, attack_cfg.std
+            x01 = inv_normalize(x, mean, std)
+
+            def loss_fn(x01):
+                xn = normalize(x01, mean, std)
+                probs = jnp.mean(vprobs(xn, keys), axis=0)
+                logp = jnp.log(probs)
+                return -jnp.mean(
+                    jnp.take_along_axis(logp, y[:, None], axis=-1))
+
+            grad = jax.grad(loss_fn)(x01)
+            xa = jnp.clip(x01 + attack_cfg.eps * jnp.sign(grad), 0.0, 1.0)
+            xa = normalize(jax.lax.stop_gradient(xa), mean, std)
+            return jnp.mean(vprobs(xa, keys), axis=0)
+
+        counts = []
+        total = 0
+        for x, y in _iterate(data):
+            key, *subs = jax.random.split(key, len(members) + 1)
+            probs = attacked_probs(jnp.asarray(x), jnp.asarray(y),
+                                   list(subs))
+            counts.append(jnp.sum(jnp.argmax(probs, -1) == jnp.asarray(y)))
+            total += int(np.asarray(y).shape[0])
+        return _drain_counts(counts, total)
+
     make_fwd = _ensemble_members(model, members)
 
     @jax.jit
