@@ -38,6 +38,18 @@ BASELINE = {
     ("smoothing", "fgsm"): [0.4131, 0.4162, 0.4125],
     ("smoothing", "pgd"): [0.3623, 0.3665, 0.3634],
 }
+# Evaluate-notebook regime rows on the smoothing checkpoint
+# (BASELINE.md rows 7-10: single run, clean / FGSM at 8 steps).
+BASELINE_REGIMES = {
+    ("standalone_eval", "clean"): 0.8279,
+    ("standalone_eval", "fgsm"): 0.4162,
+    ("switch[0.6,0.4]", "clean"): 0.8277,
+    ("switch[0.6,0.4]", "fgsm"): 0.4162,
+    ("solver_ens[0.6,0.4]", "clean"): 0.8278,
+    ("solver_ens[0.6,0.4]", "fgsm"): 0.4163,
+    ("model_ensembling", "clean"): 0.8279,
+    ("model_ensembling", "fgsm"): 0.4163,
+}
 PASS_BAR = 0.005  # BASELINE.json north star: within 0.5%
 
 
@@ -206,6 +218,124 @@ def eval_arm(arm, seed, save_dir, args, steps_grid):
     return out
 
 
+def eval_regimes(save_dir, args):
+    """Four-regime eval of one (smoothing) checkpoint at the reference's
+    8 steps — the Evaluate-notebook grid (cells 13-28): standalone /
+    switch[0.6,0.4] over u in {0.5, 1.0} / solver ensembling [0.6,0.4] /
+    model ensembling over 2 sigma=0.2-noised solvers with joint
+    ensemble-FGSM.  Returns {(regime, mode): acc}."""
+    import glob as _glob
+    import itertools
+
+    import jax
+
+    from neural_ode_metasolver_tpu.data import (
+        CIFAR10_MEAN,
+        CIFAR10_STD,
+        batch_iterator,
+        load_cifar10,
+        synthetic_dataset,
+    )
+    from neural_ode_metasolver_tpu.ops import (
+        SolverOptions,
+        parse_solver_dsl,
+        solver_ensemble_by_noising,
+    )
+    from neural_ode_metasolver_tpu.runners.attacks_runner import (
+        _model_from_config,
+        _rebuild,
+    )
+    from neural_ode_metasolver_tpu.training import (
+        AttackConfig,
+        accuracy,
+        accuracy_ensemble,
+        adversarial_accuracy,
+        adversarial_accuracy_ensemble,
+        constant_lr,
+        create_train_state,
+        cyclic_momentum,
+        make_optimizer,
+        restore_checkpoint,
+    )
+
+    step_dirs = sorted(_glob.glob(os.path.join(save_dir, "last", "step_*")))
+    cfg = _rebuild(step_dirs[-1])
+    model, mean, std, shape = _model_from_config(cfg)
+    margs = cfg.get("args", {})
+    momentum = margs.get("momentum", 0.9)
+    if margs.get("optim", "sgd") == "sgd" and margs.get("cycle_momentum",
+                                                        False):
+        momentum = cyclic_momentum(
+            margs.get("step_size_up", 3186),
+            margs.get("cyclic_lr_mode", "triangular2"),
+            margs.get("base_momentum", 0.8), margs.get("max_momentum", 0.9),
+        )
+    tx = make_optimizer(
+        margs.get("optim", "sgd"), constant_lr(0.1), momentum=momentum,
+        weight_decay=margs.get("weight_decay", 0.0),
+        every_k=margs.get("zero_grad_every", 1),
+        nonfinite_backoff=margs.get("nan_backoff"),
+    )
+    template = create_train_state(model, tx, jax.random.key(0))
+    ts, _ = restore_checkpoint(os.path.join(save_dir, "last"), template)
+
+    if args.data_root:
+        ds = load_cifar10(args.data_root, train=False)
+    else:
+        ds = synthetic_dataset(256, shape, seed=99)
+    max_batches = args.eval_batches or (
+        2 if args.subset == "smoke" else None)
+
+    def data():
+        it = batch_iterator(ds, margs.get("test_batch_size", 256),
+                            shuffle=False, drop_last=False,
+                            mean=CIFAR10_MEAN, std=CIFAR10_STD)
+        return itertools.islice(it, max_batches) if max_batches else it
+
+    base = parse_solver_dsl(cfg["solvers"])[0]
+    n = 2 if args.subset == "smoke" else 8
+    s05 = base.replace(n_steps=n, step_size=None, custom_grid=None)
+    s10 = s05.replace(u=1.0, u0=1.0)
+    fgsm = AttackConfig(mode="fgsm", eps=8 / 255, mean=CIFAR10_MEAN,
+                        std=CIFAR10_STD)
+    P, S = ts.params, ts.model_state
+    out = {}
+
+    def rec(regime, clean, adv):
+        out[(regime, "clean")] = float(clean)
+        out[(regime, "fgsm")] = float(adv)
+        print(f"  [regimes] {regime:20s} clean={clean:.4f} "
+              f"fgsm={adv:.4f}", flush=True)
+
+    opts = SolverOptions()
+    rec("standalone_eval",
+        accuracy(model, P, S, [s05], opts, data()),
+        adversarial_accuracy(model, P, S, [s05], opts, data(), fgsm,
+                             jax.random.key(50)))
+    sw = SolverOptions(solver_mode="switch", switch_probs=[0.6, 0.4])
+    rec("switch[0.6,0.4]",
+        accuracy(model, P, S, [s05, s10], sw, data(),
+                 key=jax.random.key(51)),
+        adversarial_accuracy(model, P, S, [s05, s10], sw, data(), fgsm,
+                             jax.random.key(52)))
+    en = SolverOptions(solver_mode="ensemble", ensemble_prob=1.0,
+                       ensemble_weights=[0.6, 0.4])
+    rec("solver_ens[0.6,0.4]",
+        accuracy(model, P, S, [s05, s10], en, data(),
+                 key=jax.random.key(53)),
+        adversarial_accuracy(model, P, S, [s05, s10], en, data(), fgsm,
+                             jax.random.key(54)))
+    noised = solver_ensemble_by_noising(s05, jax.random.key(55),
+                                        ensemble_size=2, std=0.2,
+                                        noise_type="normal")
+    members = [(P, S, [s], SolverOptions()) for s in noised]
+    rec("model_ensembling",
+        accuracy_ensemble(model, members, data()),
+        adversarial_accuracy_ensemble(model, members, data(), fgsm,
+                                      jax.random.key(56)))
+    return out
+
+
 def main(argv=None):
     args = parse_args(argv)
     smoke = args.subset == "smoke"
@@ -239,6 +369,7 @@ def main(argv=None):
 
     os.makedirs(args.out_dir, exist_ok=True)
     tables = {}  # (arm, mode) -> rows (one per seed)
+    regime_rows = None
     for arm in args.arms:
         for seed in seeds:
             save_dir = os.path.join(args.out_dir, f"{arm}_seed{seed}")
@@ -250,6 +381,11 @@ def main(argv=None):
             accs = eval_arm(arm, seed, save_dir, args, steps_grid)
             for mode, row in accs.items():
                 tables.setdefault((arm, mode), []).append(row)
+            if arm == "smoothing" and seed == seeds[0]:
+                # Evaluate-notebook regime grid on the first smoothing
+                # checkpoint (BASELINE.md rows 7-10)
+                print(f"== regime grid on {arm} seed={seed} ==", flush=True)
+                regime_rows = eval_regimes(save_dir, args)
 
     acc_dir = os.path.join(args.out_dir, "accuracy")
     report = {"subset": args.subset, "seeds": seeds,
@@ -291,6 +427,26 @@ def main(argv=None):
             f"{max(deltas):.4f} | "
             f"{'n/a (smoke)' if smoke else ('PASS' if ok else 'FAIL')} |"
         )
+    if regime_rows:
+        lines += ["", "| regime (smoothing ckpt) | mode | ours | reference "
+                      "| delta | pass |", "|---|---|---|---|---|---|"]
+        for (regime, mode), acc in regime_rows.items():
+            ref = BASELINE_REGIMES.get((regime, mode))
+            d = abs(acc - ref) if ref is not None else None
+            ok = (d is not None and d <= PASS_BAR)
+            if not smoke and ref is not None:
+                overall_pass = overall_pass and ok
+            report["rows"].append({
+                "arm": "smoothing_regimes", "regime": regime, "mode": mode,
+                "ours": acc, "reference": ref,
+                "max_delta": d, "pass": ok if not smoke else None,
+            })
+            lines.append(
+                f"| {regime} | {mode} | {acc:.4f} | "
+                f"{'-' if ref is None else f'{ref:.4f}'} | "
+                f"{'-' if d is None else f'{d:.4f}'} | "
+                f"{'n/a (smoke)' if smoke else ('PASS' if ok else 'FAIL')} |"
+            )
     report["overall_pass"] = None if smoke else overall_pass
     lines += ["", ("Smoke run: deltas are informational (synthetic data); "
                    "the 0.5% bar applies to real CIFAR-10 runs only."
