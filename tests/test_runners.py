@@ -441,3 +441,35 @@ def test_cifar_runner_mesh_pp_registry_fallback(tmp_path):
         "--save_dir", save,
     ])
     assert glob.glob(os.path.join(save, "last", "step_*"))
+
+
+def test_cifar_runner_resume_with_cyclic_momentum(tmp_path):
+    """--resume restores the new SGD opt-state layout (inject_hyperparams
+    wrapping the momentum trace, the round-3 cycle_momentum default):
+    a second invocation resumes from the first's 'last' checkpoint and
+    continues past its step count."""
+    import json
+
+    save = str(tmp_path / "resume_exp")
+    argv = [
+        "--network", "premetanode4",
+        "--in_planes", "8",
+        "--solvers", "rk2,u,1,-1,0.5,-1",
+        "--nepochs", "1",
+        "--batch_size", "8",
+        "--test_batch_size", "8",
+        "--val_perc", "0.25",
+        "--synthetic_train_size", "16",
+        "--synthetic_test_size", "8",
+        "--optim", "sgd",
+        "--save_dir", save,
+    ]
+    cifar_runner.main(argv)
+    rows1 = [json.loads(l) for l in
+             open(os.path.join(save, "metrics.jsonl"))]
+    last1 = max(r["step"] for r in rows1 if "step" in r)
+    cifar_runner.main(argv + ["--resume"])
+    rows2 = [json.loads(l) for l in
+             open(os.path.join(save, "metrics.jsonl"))]
+    last2 = max(r["step"] for r in rows2 if "step" in r)
+    assert last2 > last1
