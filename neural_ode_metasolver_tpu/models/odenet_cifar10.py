@@ -325,10 +325,16 @@ def _meta_layer_apply(
         # ss-loss replay and the adjoint path keep the sequential loop
         # (per-block aux threading / custom_vjp don't compose with the
         # shard_map schedule); both fall back transparently — as do
-        # indivisible batches (eval tail batches under drop_last=False)
+        # indivisible batches (eval tail batches under drop_last=False):
+        # both the microbatch split AND each microbatch's shard over the
+        # batch axis must divide evenly, or shard_map would reject the
+        # tail mid-epoch instead of falling back
         and not ss_loss
         and integration_method == "backprop"
         and x.shape[0] % pipeline.microbatches == 0
+        and (pipeline.batch_axis is None
+             or (x.shape[0] // pipeline.microbatches)
+             % pipeline.mesh.shape[pipeline.batch_axis] == 0)
     )
     if use_pp:
         p_effs = []

@@ -86,7 +86,8 @@ def meta_integrate(
     """Integrate ``y0`` over [t0, t1] under the configured regime.
 
     ``adjoint=True`` switches to continuous-adjoint differentiation
-    (ops/adjoint.py, O(1) activation memory in n_steps); the RHS must then be
+    (ops/adjoint.py, checkpointed: O(n_steps) stored y-states instead of
+    full per-stage activations); the RHS must then be
     given in explicit-params form via ``rhs_with_params(params, t, y)`` +
     ``rhs_params`` (``rhs`` is ignored for the solve itself).
 

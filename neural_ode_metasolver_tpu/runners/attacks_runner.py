@@ -36,7 +36,6 @@ from ..training import (
     adversarial_accuracy,
     adversarial_accuracy_ensemble,
     create_train_state,
-    make_optimizer,
     restore_checkpoint,
 )
 from ..utils import fix_seeds, get_logger
@@ -89,10 +88,20 @@ def _model_from_config(cfg):
         mean = std = None
         shape = (28, 28, 1)
     else:
+        nb_override = {}
+        if margs.get("num_blocks"):
+            # runs trained with a --num_blocks registry override must be
+            # rebuilt with the same stack or the param tree won't match
+            nb = margs["num_blocks"]
+            if isinstance(nb, str):
+                nb = tuple(tuple(int(v) for v in stage.split(","))
+                           for stage in nb.strip().split(";"))
+            nb_override["num_blocks"] = tuple(tuple(b) for b in nb)
         model = build_model(
             name,
             is_odenet=margs.get("is_odenet", True),
             in_planes=margs.get("in_planes", 64),
+            **nb_override,
             norms=(margs.get("normalization_resblock", "NF"),
                    margs.get("normalization_odeblock", "NF"),
                    margs.get("normalization_bn1", "NF")),
@@ -127,30 +136,12 @@ def main(argv=None):
         # the optimizer must match the saved opt-state structure
         # (reference analog: rebuilding from saved args, attacks_runner.py:65)
         margs = cfg.get("args", {})
-        from ..training import constant_lr, cyclic_momentum
+        # the saved config determines the opt-state structure (cyclic
+        # momentum wrapper, clipping, MultiSteps, nan_backoff) — one
+        # shared reconstruction for every restore path
+        from .common import optimizer_from_saved_args
 
-        momentum = margs.get("momentum", 0.9)
-        if margs.get("optim", "sgd") == "sgd" and margs.get(
-                "cycle_momentum", False):
-            # cifar sgd runs cycle momentum by default (round-3): the
-            # restored opt state carries an inject_hyperparams wrapper
-            # that a constant-momentum template would reject
-            momentum = cyclic_momentum(
-                margs.get("step_size_up", 3186),
-                margs.get("cyclic_lr_mode", "triangular2"),
-                margs.get("base_momentum", 0.8),
-                margs.get("max_momentum", 0.9),
-            )
-        tx = make_optimizer(
-            margs.get("optim", "sgd"), constant_lr(0.1),  # schedule-state parity
-            momentum=momentum,
-            weight_decay=margs.get("weight_decay", 0.0),
-            grad_clip=margs.get("grad_clipping_threshold"),
-            every_k=margs.get("zero_grad_every", 1),
-            # checkpoints trained with --nan_backoff wrap the opt state in
-            # NonfiniteBackoffState; restore needs the same structure
-            nonfinite_backoff=margs.get("nan_backoff"),
-        )
+        tx = optimizer_from_saved_args(margs)
         template = create_train_state(model, tx, jax.random.key(0))
         ts, _ = restore_checkpoint(base, template)
 

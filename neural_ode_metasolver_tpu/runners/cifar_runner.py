@@ -100,10 +100,12 @@ def build_parser():
     p.add_argument("--momentum", type=float, default=0.9)
     p.add_argument("--cycle_momentum", type=eval, default=True,
                    choices=[True, False],
-                   help="cycle SGD momentum 0.8<->0.9 inversely to the "
-                        "cyclic lr, like the reference's CyclicLR "
+                   help="cycle momentum 0.8<->0.9 inversely to the cyclic "
+                        "lr, like the reference's CyclicLR "
                         "cycle_momentum=(optim != 'adam') "
-                        "(train_and_attack.py:503-508); sgd only")
+                        "(train_and_attack.py:503-508) — applies to sgd "
+                        "AND rmsprop (torch RMSprop has a momentum buffer "
+                        "that CyclicLR drives)")
     p.add_argument("--base_momentum", type=float, default=0.8)
     p.add_argument("--max_momentum", type=float, default=0.9)
     p.add_argument("--zero_grad_every", type=int, default=1)
@@ -141,7 +143,8 @@ def build_parser():
                    choices=["backprop", "adjoint"],
                    help="gradient path through the ODE solve: exact "
                    "backprop-through-scan, or the continuous adjoint "
-                   "(O(1) activation memory; runner_old.py analog)")
+                   "(checkpointed, O(n_steps)-state instead of full "
+                   "activations; runner_old.py analog)")
     p.add_argument("--nan_backoff", type=float, default=None,
                    help="on non-finite grads: drop the update and dip the "
                    "effective step size by this factor (recovers over "
@@ -267,7 +270,7 @@ def main(argv=None):
     sched = cyclic_lr(args.base_lr, args.max_lr, args.step_size_up,
                       args.cyclic_lr_mode)
     momentum = args.momentum
-    if args.optim == "sgd" and args.cycle_momentum:
+    if args.optim in ("sgd", "rmsprop") and args.cycle_momentum:
         momentum = cyclic_momentum(
             args.step_size_up, args.cyclic_lr_mode,
             args.base_momentum, args.max_momentum,

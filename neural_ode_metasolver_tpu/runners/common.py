@@ -39,7 +39,43 @@ from ..training import (
     wait_for_checkpoints,
 )
 
-__all__ = ["fit", "validate", "build_solver_options", "parse_mesh_spec"]
+__all__ = [
+    "fit",
+    "validate",
+    "build_solver_options",
+    "parse_mesh_spec",
+    "optimizer_from_saved_args",
+]
+
+
+def optimizer_from_saved_args(margs: dict):
+    """Rebuild the optimizer a checkpoint was trained with from its saved
+    config args — the ONE place that knows how flags map to the optax
+    state layout, so every restore path (attacks_runner, the replication
+    driver) produces a structure-matching template.
+
+    Mirrors the runner wiring: coupled wd, grad clipping, zero_grad_every
+    accumulation, nan_backoff wrapping, and cyclic momentum for
+    sgd/rmsprop when the run had cycle_momentum (the lr value is
+    irrelevant for the state structure; a constant stands in)."""
+    from ..training import constant_lr, cyclic_momentum, make_optimizer
+
+    momentum = margs.get("momentum", 0.9)
+    if (margs.get("optim", "sgd") in ("sgd", "rmsprop")
+            and margs.get("cycle_momentum", False)):
+        momentum = cyclic_momentum(
+            margs.get("step_size_up", 3186),
+            margs.get("cyclic_lr_mode", "triangular2"),
+            margs.get("base_momentum", 0.8),
+            margs.get("max_momentum", 0.9),
+        )
+    return make_optimizer(
+        margs.get("optim", "sgd"), constant_lr(0.1), momentum=momentum,
+        weight_decay=margs.get("weight_decay", 0.0),
+        grad_clip=margs.get("grad_clipping_threshold"),
+        every_k=margs.get("zero_grad_every", 1),
+        nonfinite_backoff=margs.get("nan_backoff"),
+    )
 
 
 def parse_mesh_spec(spec: Optional[str]) -> Optional[dict]:

@@ -105,7 +105,8 @@ def build_parser():
                    choices=["backprop", "adjoint"],
                    help="gradient path through the ODE solve: exact "
                    "backprop-through-scan, or the continuous adjoint "
-                   "(O(1) activation memory; runner_old.py analog)")
+                   "(checkpointed, O(n_steps)-state instead of full "
+                   "activations; runner_old.py analog)")
     p.add_argument("--nan_backoff", type=float, default=None,
                    help="on non-finite grads: drop the update and dip the "
                    "effective step size by this factor (recovers over "

@@ -166,20 +166,25 @@ def _ensemble_members(model, members):
 def _homogeneous_solver_members(members):
     """Detect the ensemble-by-noising shape: every member shares params/
     state/options and carries ONE solver differing only in (u, v).
-    Returns (params, state, options, ref_solver, u_stack, v_stack) or
-    None."""
+    Raises ValueError (the one error both mesh-sharded ensemble eval
+    entry points share) when members don't fit that shape."""
+    err = ValueError(
+        "mesh-sharded ensemble eval needs homogeneous members "
+        "(same params/state/options, one solver varying only in "
+        "u/v — what solver_ensemble_by_noising produces)"
+    )
     p0, s0, sol0, o0 = members[0]
     if len(sol0) != 1:
-        return None
+        raise err
     for p, s, sol, o in members[1:]:
         if p is not p0 or s is not s0 or o != o0 or len(sol) != 1:
-            return None
+            raise err
     from ..parallel.ensemble import stack_solver_params
 
     try:
         ref, u, v = stack_solver_params([m[2][0] for m in members])
     except ValueError:
-        return None
+        raise err from None
     return p0, s0, o0, ref, u, v
 
 
@@ -233,12 +238,6 @@ def accuracy_ensemble(
     one solver per member differing only in (u, v)."""
     if mesh is not None:
         homo = _homogeneous_solver_members(members)
-        if homo is None:
-            raise ValueError(
-                "mesh-sharded ensemble eval needs homogeneous members "
-                "(same params/state/options, one solver varying only in "
-                "u/v — what solver_ensemble_by_noising produces)"
-            )
         vprobs = jax.jit(_vmapped_member_probs(model, homo, mesh,
                                                member_axis))
 
@@ -291,12 +290,6 @@ def adversarial_accuracy_ensemble(
     log-mean-prob NLL."""
     if mesh is not None:
         homo = _homogeneous_solver_members(members)
-        if homo is None:
-            raise ValueError(
-                "mesh-sharded ensemble eval needs homogeneous members "
-                "(same params/state/options, one solver varying only in "
-                "u/v — what solver_ensemble_by_noising produces)"
-            )
         vprobs = _vmapped_member_probs(model, homo, mesh, member_axis)
         from ..attacks import inv_normalize, normalize
 

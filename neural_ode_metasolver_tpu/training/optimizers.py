@@ -41,25 +41,33 @@ def make_optimizer(
         # torch couples wd into the gradient before the update rule
         parts.append(optax.add_decayed_weights(weight_decay))
 
+    def momentum_part():
+        # per-step momentum (torch CyclicLR cycle_momentum=True,
+        # train_and_attack.py:503-508): inject_hyperparams evaluates
+        # the schedule at the pre-increment count, matching torch's
+        # "iteration t uses scheduler value t" ordering
+        if callable(momentum):
+            return optax.inject_hyperparams(optax.trace)(
+                decay=momentum, nesterov=False
+            )
+        return optax.trace(decay=momentum, nesterov=False)
+
     name = name.lower()
     if name == "sgd":
-        if callable(momentum):
-            # per-step momentum (torch CyclicLR cycle_momentum=True,
-            # train_and_attack.py:503-508): inject_hyperparams evaluates
-            # the schedule at the pre-increment count, matching torch's
-            # "iteration t uses scheduler value t" ordering
-            parts.append(
-                optax.inject_hyperparams(optax.trace)(
-                    decay=momentum, nesterov=False
-                )
-            )
-        else:
-            parts.append(optax.trace(decay=momentum, nesterov=False))
+        parts.append(momentum_part())
     elif name == "rmsprop":
         # torch RMSprop defaults: alpha=0.99, eps=1e-8 added outside the sqrt
         parts.append(
             optax.scale_by_rms(decay=0.99, eps=1e-8, eps_in_sqrt=False)
         )
+        if callable(momentum):
+            # torch RMSprop has a momentum buffer (buf = m*buf + u;
+            # p -= lr*buf) that the reference only ever exercises through
+            # CyclicLR's cycle_momentum writing 0.8-0.9 into the param
+            # group — so a CALLABLE momentum gets the trace; the float
+            # default stays ignored (reference constructs RMSprop without
+            # momentum, runner.py:141 / train_and_attack.py:487-492)
+            parts.append(momentum_part())
     elif name == "adam":
         parts.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
     else:

@@ -133,11 +133,13 @@ def main():
         mean = sum(diffs) / n
         sd = math.sqrt(sum((d - mean) ** 2 for d in diffs) / (n - 1))
         se = sd / math.sqrt(n)
-        # two-sided 95% t quantiles for small n (df = n-1)
+        # two-sided 95% t quantiles, df = n-1 (complete through df=30)
         tq = {1: 12.71, 2: 4.30, 3: 3.18, 4: 2.78, 5: 2.57, 6: 2.45,
-              7: 2.36, 8: 2.31, 9: 2.26, 10: 2.23, 11: 2.20, 14: 2.14,
-              19: 2.09, 23: 2.07, 29: 2.05}
-        t = tq.get(n - 1, 2.0 if n > 30 else 2.07)
+              7: 2.36, 8: 2.31, 9: 2.26, 10: 2.23, 11: 2.20, 12: 2.18,
+              13: 2.16, 14: 2.14, 15: 2.13, 16: 2.12, 17: 2.11, 18: 2.10,
+              19: 2.09, 20: 2.09, 21: 2.08, 22: 2.07, 23: 2.07, 24: 2.06,
+              25: 2.06, 26: 2.06, 27: 2.05, 28: 2.05, 29: 2.05, 30: 2.04}
+        t = tq.get(n - 1, 2.0)
         wins = sum(d > 0 for d in diffs)
         print(f"paired {metric}: smoothing-standalone = {mean:+.4f} "
               f"+- {t * se:.4f} (95% t, n={n}; sd={sd:.4f}; "

@@ -134,15 +134,14 @@ def eval_arm(arm, seed, save_dir, args, steps_grid):
         _model_from_config,
         _rebuild,
     )
-    from neural_ode_metasolver_tpu.runners.common import parse_mesh_spec  # noqa: F401
+    from neural_ode_metasolver_tpu.runners.common import (
+        optimizer_from_saved_args,
+    )
     from neural_ode_metasolver_tpu.training import (
         AttackConfig,
         accuracy,
         adversarial_accuracy,
-        constant_lr,
         create_train_state,
-        cyclic_momentum,
-        make_optimizer,
         restore_checkpoint,
     )
 
@@ -155,22 +154,7 @@ def eval_arm(arm, seed, save_dir, args, steps_grid):
     model, mean, std, shape = _model_from_config(cfg)
     solvers = parse_solver_dsl(cfg["solvers"])
     margs = cfg.get("args", {})
-    momentum = margs.get("momentum", 0.9)
-    if margs.get("optim", "sgd") == "sgd" and margs.get("cycle_momentum",
-                                                        False):
-        momentum = cyclic_momentum(
-            margs.get("step_size_up", 3186),
-            margs.get("cyclic_lr_mode", "triangular2"),
-            margs.get("base_momentum", 0.8),
-            margs.get("max_momentum", 0.9),
-        )
-    tx = make_optimizer(
-        margs.get("optim", "sgd"), constant_lr(0.1), momentum=momentum,
-        weight_decay=margs.get("weight_decay", 0.0),
-        grad_clip=margs.get("grad_clipping_threshold"),
-        every_k=margs.get("zero_grad_every", 1),
-        nonfinite_backoff=margs.get("nan_backoff"),
-    )
+    tx = optimizer_from_saved_args(margs)
     template = create_train_state(model, tx, jax.random.key(0))
     ts, _ = restore_checkpoint(os.path.join(save_dir, "last"), template)
 
@@ -245,16 +229,16 @@ def eval_regimes(save_dir, args):
         _model_from_config,
         _rebuild,
     )
+    from neural_ode_metasolver_tpu.runners.common import (
+        optimizer_from_saved_args,
+    )
     from neural_ode_metasolver_tpu.training import (
         AttackConfig,
         accuracy,
         accuracy_ensemble,
         adversarial_accuracy,
         adversarial_accuracy_ensemble,
-        constant_lr,
         create_train_state,
-        cyclic_momentum,
-        make_optimizer,
         restore_checkpoint,
     )
 
@@ -262,20 +246,7 @@ def eval_regimes(save_dir, args):
     cfg = _rebuild(step_dirs[-1])
     model, mean, std, shape = _model_from_config(cfg)
     margs = cfg.get("args", {})
-    momentum = margs.get("momentum", 0.9)
-    if margs.get("optim", "sgd") == "sgd" and margs.get("cycle_momentum",
-                                                        False):
-        momentum = cyclic_momentum(
-            margs.get("step_size_up", 3186),
-            margs.get("cyclic_lr_mode", "triangular2"),
-            margs.get("base_momentum", 0.8), margs.get("max_momentum", 0.9),
-        )
-    tx = make_optimizer(
-        margs.get("optim", "sgd"), constant_lr(0.1), momentum=momentum,
-        weight_decay=margs.get("weight_decay", 0.0),
-        every_k=margs.get("zero_grad_every", 1),
-        nonfinite_backoff=margs.get("nan_backoff"),
-    )
+    tx = optimizer_from_saved_args(margs)
     template = create_train_state(model, tx, jax.random.key(0))
     ts, _ = restore_checkpoint(os.path.join(save_dir, "last"), template)
 

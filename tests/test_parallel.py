@@ -639,6 +639,14 @@ def test_pp_fallbacks_are_sequential():
     l_pp, _, _ = pp.apply(params, state, xt, solvers, opts)
     np.testing.assert_allclose(np.asarray(l_seq), np.asarray(l_pp),
                                atol=0)
+    # tail batch of 6: divisible by 2 microbatches but each 3-sample
+    # microbatch does NOT divide the data axis (2) -> must also fall back
+    # instead of crashing in shard_map (eval drop_last=False tails)
+    xt6 = x[:6]
+    l_seq6, _, _ = seq.apply(params, state, xt6, solvers, opts)
+    l_pp6, _, _ = pp.apply(params, state, xt6, solvers, opts)
+    np.testing.assert_allclose(np.asarray(l_seq6), np.asarray(l_pp6),
+                               atol=0)
     # ss-loss path: runs (sequentially) and returns a finite scalar
     l2, _, aux = pp.apply(params, state, x, solvers, opts, ss_loss=True)
     assert np.isfinite(float(aux["ss_loss"]))

@@ -473,3 +473,34 @@ def test_cifar_runner_resume_with_cyclic_momentum(tmp_path):
              open(os.path.join(save, "metrics.jsonl"))]
     last2 = max(r["step"] for r in rows2 if "step" in r)
     assert last2 > last1
+
+
+def test_attacks_runner_evaluates_num_blocks_checkpoint(tmp_path):
+    """A checkpoint trained with a --num_blocks registry override must be
+    rebuildable by the eval tooling: _model_from_config reconstructs the
+    same custom stack from the saved config or restore fails on pytree
+    structure."""
+    save = str(tmp_path / "nb_exp")
+    cifar_runner.main([
+        "--network", "premetanode10",
+        "--num_blocks", "1,2",
+        "--in_planes", "8",
+        "--solvers", "rk2,u,1,-1,0.5,-1",
+        "--nepochs", "1",
+        "--batch_size", "8",
+        "--test_batch_size", "8",
+        "--val_perc", "0.25",
+        "--synthetic_train_size", "16",
+        "--synthetic_test_size", "8",
+        "--save_dir", save,
+    ])
+    out_csv = str(tmp_path / "nb_accs.csv")
+    attacks_runner.main([
+        "--checkpoints_glob", os.path.join(save, "last"),
+        "--modes", "clean",
+        "--batch_size", "8",
+        "--max_batches", "1",
+        "--output_csv", out_csv,
+    ])
+    rows = list(csv.DictReader(open(out_csv)))
+    assert rows and all(0.0 <= float(r["accuracy"]) <= 1.0 for r in rows)

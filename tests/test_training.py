@@ -127,6 +127,44 @@ def test_sgd_cyclic_momentum_updates_match_torch():
                                rtol=1e-5, atol=1e-7)
 
 
+def test_rmsprop_cyclic_momentum_updates_match_torch():
+    """The reference's CyclicLR(cycle_momentum=True) also drives torch
+    RMSprop's momentum buffer (RMSprop has 'momentum' in its defaults, so
+    the scheduler writes 0.8-0.9 into the param group every step).  Our
+    rmsprop with a callable momentum must reproduce buf = m*buf + u,
+    p -= lr*buf."""
+    torch = pytest.importorskip("torch")
+    base, mx, up = 0.005, 0.02, 3
+    w0 = np.random.RandomState(0).randn(5).astype(np.float32)
+    grads = [np.random.RandomState(i + 1).randn(5).astype(np.float32)
+             for i in range(8)]
+
+    tx = make_optimizer(
+        "rmsprop", cyclic_lr(base, mx, up, "triangular"),
+        momentum=cyclic_momentum(up, "triangular"), weight_decay=0.01,
+    )
+    params = jnp.asarray(w0)
+    state = tx.init(params)
+    for g in grads:
+        updates, state = tx.update(jnp.asarray(g), state, params)
+        params = params + updates
+
+    p = torch.nn.Parameter(torch.tensor(w0.copy()))
+    opt = torch.optim.RMSprop([p], lr=base, alpha=0.99, eps=1e-8,
+                              weight_decay=0.01, momentum=0.9)
+    tsched = torch.optim.lr_scheduler.CyclicLR(
+        opt, base_lr=base, max_lr=mx, step_size_up=up, mode="triangular",
+        cycle_momentum=True,
+    )
+    for g in grads:
+        opt.zero_grad()
+        p.grad = torch.tensor(g.copy())
+        opt.step()
+        tsched.step()
+    np.testing.assert_allclose(np.asarray(params), p.detach().numpy(),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_boundary_decay_schedule():
     sched = learning_rate_with_decay(
         0.1, batch_size=256, batches_per_epoch=10,
