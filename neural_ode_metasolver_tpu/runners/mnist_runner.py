@@ -220,6 +220,12 @@ def main(argv=None):
             raise ValueError(
                 "--mesh is not supported with --train_solver_params "
                 "(the joint solver-parameter loop is single-device)")
+        if args.integration_method != "backprop":
+            raise ValueError(
+                "--train_solver_params needs discretize-then-optimize "
+                "gradients (the continuous adjoint treats the tableau as "
+                "the integration method — u/v get no gradient; "
+                "ops/adjoint.py docstring)")
         _fit_with_trainable_solvers(model, solvers, tx, args, logger,
                                     train_data, eval_data, config)
     else:

@@ -504,3 +504,18 @@ def test_attacks_runner_evaluates_num_blocks_checkpoint(tmp_path):
     ])
     rows = list(csv.DictReader(open(out_csv)))
     assert rows and all(0.0 <= float(r["accuracy"]) <= 1.0 for r in rows)
+
+
+def test_train_solver_params_rejects_adjoint():
+    """u/v training needs d-t-o gradients; the adjoint treats the tableau
+    as the method (no u-gradient) — must be a clear error, not a silent
+    no-learning run."""
+    with pytest.raises(ValueError, match="discretize-then-optimize"):
+        mnist_runner.main([
+            "--train_solver_params",
+            "--integration_method", "adjoint",
+            "--nepochs", "1",
+            "--synthetic_train_size", "16",
+            "--synthetic_test_size", "16",
+            "--save_dir", "/tmp/should_not_exist_exp",
+        ])
