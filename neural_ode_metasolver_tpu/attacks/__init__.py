@@ -6,6 +6,7 @@ from .attacks import (
     cross_entropy,
     fgsm,
     fgsm2ensemble,
+    fgsm_mean_prob_attack,
     fgsm_random,
     inv_normalize,
     normalize,
@@ -18,6 +19,7 @@ __all__ = [
     "cross_entropy",
     "fgsm",
     "fgsm2ensemble",
+    "fgsm_mean_prob_attack",
     "fgsm_random",
     "inv_normalize",
     "normalize",

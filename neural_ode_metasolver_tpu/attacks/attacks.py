@@ -39,6 +39,7 @@ __all__ = [
     "fgsm_random",
     "pgd",
     "fgsm2ensemble",
+    "fgsm_mean_prob_attack",
     "normalize",
     "inv_normalize",
 ]
@@ -180,6 +181,35 @@ def pgd(
     return normalize(lax.stop_gradient(x_adv), mean, std), y
 
 
+def fgsm_mean_prob_attack(
+    mean_probs_fn: Callable[[Array], Array],
+    x: Array,
+    y: Array,
+    eps: float,
+    mean=None,
+    std=None,
+) -> Tuple[Array, Array]:
+    """Shared core of FGSM2Ensemble (fgsm.py:121-155): one grad-sign step on
+    the log-mean-prob NLL in pixel space.
+
+    ``mean_probs_fn(xn)`` returns the prob-averaged ensemble softmax at
+    normalized inputs — a Python loop over member forwards or a vmapped
+    mesh-sharded batch; both eval paths route through this one function so
+    the reference-parity attack semantics cannot drift between them.
+    """
+    x01 = inv_normalize(x, mean, std)
+
+    def loss_fn(x01):
+        logp = jnp.log(mean_probs_fn(normalize(x01, mean, std)))
+        return -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=-1))
+
+    grad = jax.grad(loss_fn)(x01)
+    x_adv = jnp.clip(x01 + eps * jnp.sign(grad), 0.0, 1.0)
+    # detach (fgsm.py:40): composing the attack inside a differentiated
+    # loss must not build double-backward through the inner input-grad
+    return lax.stop_gradient(normalize(x_adv, mean, std)), y
+
+
 def fgsm2ensemble(
     forwards: Sequence[Forward],
     x: Array,
@@ -193,20 +223,12 @@ def fgsm2ensemble(
     Each entry of ``forwards`` is a closure over its own (model, solver)
     configuration — the analog of the reference's per-model kwargs.
     """
-    x01 = inv_normalize(x, mean, std)
 
-    def loss_fn(x01):
-        xn = normalize(x01, mean, std)
+    def mean_probs(xn):
         probs = None
         for fwd in forwards:
             p = jax.nn.softmax(fwd(xn), axis=-1)
             probs = p if probs is None else probs + p
-        probs = probs / len(forwards)
-        logp = jnp.log(probs)
-        return -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=-1))
+        return probs / len(forwards)
 
-    grad = jax.grad(loss_fn)(x01)
-    x_adv = jnp.clip(x01 + eps * jnp.sign(grad), 0.0, 1.0)
-    # detach (fgsm.py:40): composing the attack inside a differentiated
-    # loss must not build double-backward through the inner input-grad
-    return lax.stop_gradient(normalize(x_adv, mean, std)), y
+    return fgsm_mean_prob_attack(mean_probs, x, y, eps, mean, std)

@@ -97,9 +97,10 @@ def _fwd(tableau, rhs, params, y0, time_grid, n_steps_bwd, unroll,
             tableau, rhs, params, y0, time_grid, unroll,
             return_trajectory=True,
         )
-        # states at every grid point: (n_steps+1, *y.shape) with row 0 = y0
-        ys_all = jnp.concatenate([y0[None], ys], axis=0)
-        return y1, (tableau, params, ys_all, time_grid)
+        # post-step states only, (n_steps, *y.shape): the backward sweep
+        # re-seeds each interval at its UPPER grid state, so y0 itself is
+        # never read — storing it would be a dead snapshot in the residuals
+        return y1, (tableau, params, ys, time_grid)
     y1, _ = _integrate(tableau, rhs, params, y0, time_grid, unroll)
     return y1, (tableau, params, y1, time_grid)
 
@@ -130,12 +131,11 @@ def _bwd(rhs, n_steps_bwd, unroll, checkpoint_states, res, ct):
     )
 
     if checkpoint_states:
-        ys_all = saved
         m = n_steps_bwd or 1  # backward sub-steps per forward interval
         frac = jnp.linspace(0.0, 1.0, m + 1, dtype=time_grid.dtype)
 
         # reverse-order per-interval inputs: stored upper state + endpoints
-        y_his = ys_all[1:][::-1]
+        y_his = saved[::-1]
         t_los = time_grid[:-1][::-1]
         t_his = time_grid[1:][::-1]
 

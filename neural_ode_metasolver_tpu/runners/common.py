@@ -297,6 +297,18 @@ def fit(
                     f"{pcfg.microbatches} microbatches each divisible by "
                     f"the data axis size ({mesh.shape['data']})"
                 )
+            if not any(
+                n_ode > 1 and n_ode % pcfg.stages == 0
+                for _, n_ode in model.cfg.num_blocks
+            ):
+                logger.warning(
+                    f"--mesh pp={pcfg.stages}: no layer in "
+                    f"num_blocks={list(model.cfg.num_blocks)} has an "
+                    f"ODE-block stack divisible into {pcfg.stages} stages; "
+                    "the pp devices are reserved but every layer runs "
+                    "sequentially (use --num_blocks to deepen the stacks, "
+                    "e.g. premetanode18/34)"
+                )
             model = make_cifar_model(model.cfg, pipeline=pcfg)
     step = make_train_step(
         model, tx, solvers, solver_options, attack_cfg, noise_cfg, loss_cfg,

@@ -291,24 +291,18 @@ def adversarial_accuracy_ensemble(
     if mesh is not None:
         homo = _homogeneous_solver_members(members)
         vprobs = _vmapped_member_probs(model, homo, mesh, member_axis)
-        from ..attacks import inv_normalize, normalize
+        from ..attacks import fgsm_mean_prob_attack
 
         @jax.jit
         def attacked_probs(x, y, keys):
             keys = jnp.stack(keys)
-            mean, std = attack_cfg.mean, attack_cfg.std
-            x01 = inv_normalize(x, mean, std)
-
-            def loss_fn(x01):
-                xn = normalize(x01, mean, std)
-                probs = jnp.mean(vprobs(xn, keys), axis=0)
-                logp = jnp.log(probs)
-                return -jnp.mean(
-                    jnp.take_along_axis(logp, y[:, None], axis=-1))
-
-            grad = jax.grad(loss_fn)(x01)
-            xa = jnp.clip(x01 + attack_cfg.eps * jnp.sign(grad), 0.0, 1.0)
-            xa = normalize(jax.lax.stop_gradient(xa), mean, std)
+            # the vmapped mean-prob closure feeds the SAME attack core as
+            # the member-loop path (fgsm2ensemble) — one copy of the
+            # reference-parity semantics for both
+            xa, _ = fgsm_mean_prob_attack(
+                lambda xn: jnp.mean(vprobs(xn, keys), axis=0),
+                x, y, attack_cfg.eps, attack_cfg.mean, attack_cfg.std,
+            )
             return jnp.mean(vprobs(xa, keys), axis=0)
 
         counts = []

@@ -47,8 +47,18 @@ def make_optimizer(
         # the schedule at the pre-increment count, matching torch's
         # "iteration t uses scheduler value t" ordering
         if callable(momentum):
+            if every_k > 1:
+                # the momentum trace sits INSIDE MultiSteps, whose inner
+                # count advances once per emitted update, while torch's
+                # scheduler writes momentum into the param group every
+                # iteration (train_and_attack.py:564).  Emit #m happens at
+                # iteration m*k + k - 1, so remap the inner count to keep
+                # the momentum phase locked to the per-iteration LR.
+                mom_sched = lambda c: momentum((c + 1) * every_k - 1)
+            else:
+                mom_sched = momentum
             return optax.inject_hyperparams(optax.trace)(
-                decay=momentum, nesterov=False
+                decay=mom_sched, nesterov=False
             )
         return optax.trace(decay=momentum, nesterov=False)
 

@@ -52,32 +52,44 @@ def learning_rate_with_decay(
     return schedule
 
 
-def cyclic_lr(
-    base_lr: float,
-    max_lr: float,
-    step_size_up: int,
-    mode: str = "triangular2",
-):
-    """torch CyclicLR (default step_size_down == step_size_up).
+def _cyclic_amplitude(step_size_up: int, mode: str):
+    """The shared CyclicLR triangle: amplitude(step) in [0, 1].
 
     cycle = floor(1 + step / (2 * s)),  x = |step/s - 2*cycle + 1|
-    lr = base + (max-base) * max(0, 1-x) * scale(cycle)
+    amplitude = max(0, 1-x) * scale(cycle)
     scale = 1 (triangular) or 1 / 2^(cycle-1) (triangular2).
+
+    ``cyclic_lr`` and ``cyclic_momentum`` MUST stay phase-locked (momentum
+    cycles exactly inversely to the lr, as torch's cycle_momentum does),
+    so both are built from this one triangle.
     """
     if mode not in ("triangular", "triangular2"):
         raise ValueError(f"unsupported CyclicLR mode {mode!r}")
     s = float(step_size_up)
 
-    def schedule(step):
+    def amplitude(step):
         step = jnp.asarray(step, jnp.float32)
         cycle = jnp.floor(1.0 + step / (2.0 * s))
         x = jnp.abs(step / s - 2.0 * cycle + 1.0)
         scale = (
             1.0 if mode == "triangular" else 1.0 / (2.0 ** (cycle - 1.0))
         )
-        return base_lr + (max_lr - base_lr) * jnp.maximum(0.0, 1.0 - x) * scale
+        return jnp.maximum(0.0, 1.0 - x) * scale
 
-    return schedule
+    return amplitude
+
+
+def cyclic_lr(
+    base_lr: float,
+    max_lr: float,
+    step_size_up: int,
+    mode: str = "triangular2",
+):
+    """torch CyclicLR (default step_size_down == step_size_up):
+    lr = base + (max-base) * amplitude(step), see :func:`_cyclic_amplitude`.
+    """
+    amp = _cyclic_amplitude(step_size_up, mode)
+    return lambda step: base_lr + (max_lr - base_lr) * amp(step)
 
 
 def cyclic_momentum(
@@ -93,25 +105,14 @@ def cyclic_momentum(
     every published SGD run cycles momentum *inversely* to the lr between
     torch's defaults base_momentum=0.8 and max_momentum=0.9:
 
-      momentum = max_m - (max_m - base_m) * max(0, 1-x) * scale(cycle)
+      momentum = max_m - (max_m - base_m) * amplitude(step)
 
-    with the same x/scale as :func:`cyclic_lr` — momentum is at max when lr
-    is at base and vice versa.  Pass the result as ``momentum=`` to
-    :func:`make_optimizer` (callable momenta are injected per step).
+    with the same triangle as :func:`cyclic_lr` (shared via
+    :func:`_cyclic_amplitude`) — momentum is at max when lr is at base and
+    vice versa.  Pass the result as ``momentum=`` to :func:`make_optimizer`
+    (callable momenta are injected per step).
     """
-    if mode not in ("triangular", "triangular2"):
-        raise ValueError(f"unsupported CyclicLR mode {mode!r}")
-    s = float(step_size_up)
-
-    def schedule(step):
-        step = jnp.asarray(step, jnp.float32)
-        cycle = jnp.floor(1.0 + step / (2.0 * s))
-        x = jnp.abs(step / s - 2.0 * cycle + 1.0)
-        scale = (
-            1.0 if mode == "triangular" else 1.0 / (2.0 ** (cycle - 1.0))
-        )
-        return max_momentum - (max_momentum - base_momentum) * jnp.maximum(
-            0.0, 1.0 - x
-        ) * scale
-
-    return schedule
+    amp = _cyclic_amplitude(step_size_up, mode)
+    return lambda step: (
+        max_momentum - (max_momentum - base_momentum) * amp(step)
+    )

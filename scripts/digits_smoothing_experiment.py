@@ -24,6 +24,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(__file__), "..",
                                    ".jax_cache"))
@@ -119,31 +120,11 @@ def main():
 
     # Paired analysis: the arms share all randomness except the smoothing
     # draw (see module docstring), so per-seed differences are the CRN
-    # estimator of the smoothing effect.
-    by = {(r["regime"], r["seed"]): r for r in rows}
-    import math
+    # estimator of the smoothing effect.  The report logic is shared with
+    # the chunk-merging driver so the two can never drift.
+    from merge_smoothing_results import paired_report
 
-    for metric in ("clean_acc", "robust_acc"):
-        diffs = [by[("smoothing", s)][metric] - by[("standalone", s)][metric]
-                 for s in args.seeds
-                 if ("smoothing", s) in by and ("standalone", s) in by]
-        n = len(diffs)
-        if n < 2:
-            continue
-        mean = sum(diffs) / n
-        sd = math.sqrt(sum((d - mean) ** 2 for d in diffs) / (n - 1))
-        se = sd / math.sqrt(n)
-        # two-sided 95% t quantiles, df = n-1 (complete through df=30)
-        tq = {1: 12.71, 2: 4.30, 3: 3.18, 4: 2.78, 5: 2.57, 6: 2.45,
-              7: 2.36, 8: 2.31, 9: 2.26, 10: 2.23, 11: 2.20, 12: 2.18,
-              13: 2.16, 14: 2.14, 15: 2.13, 16: 2.12, 17: 2.11, 18: 2.10,
-              19: 2.09, 20: 2.09, 21: 2.08, 22: 2.07, 23: 2.07, 24: 2.06,
-              25: 2.06, 26: 2.06, 27: 2.05, 28: 2.05, 29: 2.05, 30: 2.04}
-        t = tq.get(n - 1, 2.0)
-        wins = sum(d > 0 for d in diffs)
-        print(f"paired {metric}: smoothing-standalone = {mean:+.4f} "
-              f"+- {t * se:.4f} (95% t, n={n}; sd={sd:.4f}; "
-              f"{wins}/{n} seeds favor smoothing)", flush=True)
+    paired_report(rows)
 
 
 if __name__ == "__main__":

@@ -325,6 +325,17 @@ def main(argv=None):
         jax.config.update(
             "jax_persistent_cache_min_compile_time_secs", 1.0
         )
+    else:
+        # full replication compiles the train step plus a steps_grid x
+        # attack-mode matrix of eval variants; TPU compiles run 5-10+ min
+        # each, so the persistent cache is mandatory for interrupted /
+        # re-run parity days (CLAUDE.md environment facts).
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 1.0
+        )
     seeds = args.seeds or ([602] if smoke else [602, 603, 604])
     steps_grid = [1, 2] if smoke else [1, 2, 4, 6, 8, 10, 12, 14, 16]
     ref_step = steps_grid[-1] if smoke else 8

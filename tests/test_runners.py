@@ -422,10 +422,14 @@ def test_cifar_runner_mesh_pp_custom_stack(tmp_path):
     assert losses and all(np.isfinite(losses))
 
 
-def test_cifar_runner_mesh_pp_registry_fallback(tmp_path):
+def test_cifar_runner_mesh_pp_registry_fallback(tmp_path, caplog):
     """premetanode18 under --mesh data=2,pp=2: every registry layer holds a
     single ODE block, so each falls back to the sequential loop — the run
-    must still train end to end (pp is inert, not fatal)."""
+    must still train end to end (pp is inert, not fatal) AND warn that the
+    pp devices are idle."""
+    import logging
+
+    caplog.set_level(logging.WARNING)
     save = str(tmp_path / "mesh_pp18_exp")
     cifar_runner.main([
         "--network", "premetanode18",
@@ -441,6 +445,8 @@ def test_cifar_runner_mesh_pp_registry_fallback(tmp_path):
         "--save_dir", save,
     ])
     assert glob.glob(os.path.join(save, "last", "step_*"))
+    assert any("pp devices are reserved but every layer runs sequentially"
+               in r.message for r in caplog.records)
 
 
 def test_cifar_runner_resume_with_cyclic_momentum(tmp_path):

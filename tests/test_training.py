@@ -165,6 +165,50 @@ def test_rmsprop_cyclic_momentum_updates_match_torch():
                                rtol=1e-4, atol=1e-6)
 
 
+def test_cyclic_momentum_phase_with_grad_accumulation():
+    """With zero_grad_every > 1 the momentum trace sits inside
+    optax.MultiSteps, whose count only advances per emitted update; the
+    momentum phase must still track torch's per-iteration scheduler.step()
+    (train_and_attack.py:316,564).  Feeding identical grads within each
+    accumulation pair makes the mean-accumulation vs torch's
+    zero-grad-then-step semantics coincide, so params must match exactly."""
+    torch = pytest.importorskip("torch")
+    base, mx, up, k = 0.05, 0.3, 3, 2
+    w0 = np.random.RandomState(0).randn(5).astype(np.float32)
+    emit_grads = [np.random.RandomState(i + 1).randn(5).astype(np.float32)
+                  for i in range(4)]
+
+    tx = make_optimizer(
+        "sgd", cyclic_lr(base, mx, up, "triangular"),
+        momentum=cyclic_momentum(up, "triangular"), weight_decay=0.01,
+        every_k=k,
+    )
+    params = jnp.asarray(w0)
+    state = tx.init(params)
+    for g in emit_grads:
+        for _ in range(k):  # same grad k times -> accumulated mean == g
+            updates, state = tx.update(jnp.asarray(g), state, params)
+            params = params + updates
+
+    p = torch.nn.Parameter(torch.tensor(w0.copy()))
+    opt = torch.optim.SGD([p], lr=base, momentum=0.9, weight_decay=0.01)
+    tsched = torch.optim.lr_scheduler.CyclicLR(
+        opt, base_lr=base, max_lr=mx, step_size_up=up, mode="triangular",
+        cycle_momentum=True,
+    )
+    it = 0
+    for g in emit_grads:
+        for _ in range(k):
+            if (it + 1) % k == 0:  # reference train(): zero_grad + step
+                opt.zero_grad()
+                p.grad = torch.tensor(g.copy())
+                opt.step()
+            tsched.step()
+            it += 1
+    np.testing.assert_allclose(np.asarray(params), p.detach().numpy(),
+                               rtol=1e-5, atol=1e-7)
+
+
 def test_boundary_decay_schedule():
     sched = learning_rate_with_decay(
         0.1, batch_size=256, batches_per_epoch=10,
