@@ -43,14 +43,20 @@ def _run_with_retries(fn, attempts=3, backoff_s=60):
     for i in range(attempts):
         try:
             return fn()
-        except XlaRuntimeError as e:
-            # only backend/runtime errors are retry candidates, and only
-            # with a transient status code (a compile error or bad program
-            # also raises XlaRuntimeError but reads INVALID_ARGUMENT etc.)
-            transient = any(
-                str(e).startswith(s) or s in repr(e)
+        except Exception as e:  # noqa: BLE001 — classified below
+            # Retry candidates: XLA runtime errors with a transient status
+            # code (a compile error / bad program also raises
+            # XlaRuntimeError but reads INVALID_ARGUMENT etc.), plus
+            # non-Xla exceptions whose text carries an unambiguous
+            # transient backend marker (grpc/client init failures on the
+            # tunneled chip surface as plain RuntimeError).
+            marker = any(
+                s in repr(e)
                 for s in ("FAILED_PRECONDITION", "UNAVAILABLE",
                           "DEADLINE_EXCEEDED", "INTERNAL")
+            )
+            transient = marker and (
+                isinstance(e, (XlaRuntimeError, RuntimeError, OSError))
             )
             if not transient or i == attempts - 1:
                 raise

@@ -88,15 +88,13 @@ def _model_from_config(cfg):
         mean = std = None
         shape = (28, 28, 1)
     else:
+        from .common import parse_num_blocks
+
         nb_override = {}
         if margs.get("num_blocks"):
             # runs trained with a --num_blocks registry override must be
             # rebuilt with the same stack or the param tree won't match
-            nb = margs["num_blocks"]
-            if isinstance(nb, str):
-                nb = tuple(tuple(int(v) for v in stage.split(","))
-                           for stage in nb.strip().split(";"))
-            nb_override["num_blocks"] = tuple(tuple(b) for b in nb)
+            nb_override["num_blocks"] = parse_num_blocks(margs["num_blocks"])
         model = build_model(
             name,
             is_odenet=margs.get("is_odenet", True),

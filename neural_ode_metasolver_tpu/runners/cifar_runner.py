@@ -27,7 +27,7 @@ from ..models.api import build_model
 from ..ops import parse_solver_dsl
 from ..training import cyclic_lr, cyclic_momentum, make_optimizer
 from ..utils import count_parameters, fix_seeds, get_logger
-from .common import fit
+from .common import bool_flag, fit, parse_num_blocks
 
 NETWORKS = [
     "metanode34", "metanode18", "metanode10", "metanode6", "metanode4",
@@ -39,7 +39,7 @@ NETWORKS = [
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     # architecture (train_and_attack.py:40-45, 161-182)
-    p.add_argument("--is_odenet", type=eval, default=True,
+    p.add_argument("--is_odenet", type=bool_flag, default=True,
                    choices=[True, False])
     p.add_argument("--network", type=str, choices=NETWORKS,
                    default="premetanode10")
@@ -83,13 +83,13 @@ def build_parser():
                    choices=[None, "cauchy", "normal"])
     p.add_argument("--noise_sigma", type=float, default=0.001)
     p.add_argument("--noise_prob", type=float, default=0.0)
-    p.add_argument("--minimize_rk2_error", type=eval, default=False,
+    p.add_argument("--minimize_rk2_error", type=bool_flag, default=False,
                    choices=[True, False])
     # training (train_and_attack.py:83-119)
     p.add_argument("--seed", type=int, default=602)
     p.add_argument("--nepochs", "--nepochs_nn", dest="nepochs", type=int,
                    default=36)
-    p.add_argument("--data_aug", type=eval, default=True,
+    p.add_argument("--data_aug", type=bool_flag, default=True,
                    choices=[True, False])
     p.add_argument("--batch_size", type=int, default=256)
     p.add_argument("--test_batch_size", type=int, default=256)
@@ -98,7 +98,7 @@ def build_parser():
                    choices=["sgd", "rmsprop", "adam"])
     p.add_argument("--weight_decay", type=float, default=0.0005)
     p.add_argument("--momentum", type=float, default=0.9)
-    p.add_argument("--cycle_momentum", type=eval, default=True,
+    p.add_argument("--cycle_momentum", type=bool_flag, default=True,
                    choices=[True, False],
                    help="cycle momentum 0.8<->0.9 inversely to the cyclic "
                         "lr, like the reference's CyclicLR "
@@ -123,7 +123,7 @@ def build_parser():
                    default=10 / 255)
     p.add_argument("--pgd_lr_training", type=float, default=2 / 255)
     p.add_argument("--pgd_niter_training", type=int, default=7)
-    p.add_argument("--ss_loss", type=eval, default=False,
+    p.add_argument("--ss_loss", type=bool_flag, default=False,
                    choices=[True, False])
     p.add_argument("--ss_loss_reg", type=float, default=0.1)
     p.add_argument("--adv_testing_mode", default="clean",
@@ -195,10 +195,7 @@ def main(argv=None):
     solvers = parse_solver_dsl(args.solvers)
     nb_override = {}
     if args.num_blocks:
-        nb_override["num_blocks"] = tuple(
-            tuple(int(v) for v in stage.split(","))
-            for stage in args.num_blocks.strip().split(";")
-        )
+        nb_override["num_blocks"] = parse_num_blocks(args.num_blocks)
     model = build_model(
         args.network,
         is_odenet=args.is_odenet,

@@ -42,10 +42,41 @@ from ..training import (
 __all__ = [
     "fit",
     "validate",
+    "bool_flag",
     "build_solver_options",
     "parse_mesh_spec",
+    "parse_num_blocks",
     "optimizer_from_saved_args",
 ]
+
+
+def bool_flag(s: str) -> bool:
+    """Boolean CLI operand in the reference's ``type=eval`` style
+    (``--data_aug True`` — train_and_attack.py:40,87 etc.) without
+    ``eval``'s failure modes: lowercase spellings parse too, and anything
+    else is a clean argparse usage error instead of a NameError or an
+    arbitrary-expression evaluation."""
+    v = {"true": True, "false": False, "1": True, "0": False}.get(
+        str(s).strip().lower()
+    )
+    if v is None:
+        raise ValueError(f"expected True/False, got {s!r}")
+    return v
+
+
+def parse_num_blocks(nb):
+    """``--num_blocks`` registry override → tuple-of-tuples.
+
+    Accepts the CLI spec string ``"a,b;c,d"`` or an already-parsed
+    sequence (as stored in checkpoint config sidecars). The ONE parser
+    shared by the training CLI and every restore path — a format drift
+    between them would rebuild a mismatched param tree at restore."""
+    if isinstance(nb, str):
+        return tuple(
+            tuple(int(v) for v in stage.split(","))
+            for stage in nb.strip().split(";")
+        )
+    return tuple(tuple(int(v) for v in stage) for stage in nb)
 
 
 def optimizer_from_saved_args(margs: dict):

@@ -21,7 +21,7 @@ from ..models.api import build_model
 from ..ops import parse_solver_dsl
 from ..training import learning_rate_with_decay, make_optimizer
 from ..utils import count_parameters, fix_seeds, get_logger
-from .common import fit
+from .common import bool_flag, fit
 
 
 def build_parser():
@@ -61,7 +61,7 @@ def build_parser():
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--test_batch_size", type=int, default=1000)
     p.add_argument("--nepochs", type=int, default=160)
-    p.add_argument("--data_aug", type=eval, default=True,
+    p.add_argument("--data_aug", type=bool_flag, default=True,
                    choices=[True, False])
     p.add_argument("--seed", type=int, default=502)
     # adversarial training/testing (runner_new.py:86-104)

@@ -241,9 +241,20 @@ def accuracy_ensemble(
         vprobs = jax.jit(_vmapped_member_probs(model, homo, mesh,
                                                member_axis))
 
+        options = homo[2]
+
         def probs_fn(x, keys):
-            keys = (jnp.stack(keys) if keys[0] is not None
-                    else jax.random.split(jax.random.key(0), len(members)))
+            if keys[0] is None:
+                # match the member-loop path: key-consuming regimes must
+                # raise, not silently run on a fabricated seed
+                # (meta_integrate, ops/regimes.py:121,140)
+                if options.solver_mode in ("switch", "ensemble"):
+                    raise ValueError(
+                        f"{options.solver_mode} mode needs a PRNG key")
+                # standalone never consumes the keys; any placeholder works
+                keys = jax.random.split(jax.random.key(0), len(members))
+            else:
+                keys = jnp.stack(keys)
             return jnp.mean(vprobs(x, keys), axis=0)
     else:
         make_fwd = _ensemble_members(model, members)

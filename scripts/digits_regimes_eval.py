@@ -88,12 +88,19 @@ def main():
         # sn_test re-grid semantics (odenet_mnist/metrics.py:27-41)
         return s.replace(n_steps=int(n), step_size=None, custom_grid=None)
 
+    trained_n = int(s05.n_steps)
+
     def record(regime, clean, adv, clean_at_steps=None):
         row = {"regime": regime, "clean_acc": clean, "fgsm_acc": adv}
         sweep = ""
         if clean_at_steps is not None:
             for n in args.steps_grid:
-                row[f"clean_acc@{n}"] = clean_at_steps(n)
+                # at the trained step count the regrid is an identity and
+                # the PRNG keys match — reuse the headline eval instead of
+                # re-running a full test-set pass per regime
+                row[f"clean_acc@{n}"] = (
+                    clean if int(n) == trained_n else clean_at_steps(n)
+                )
             sweep = "  " + " ".join(
                 f"@{n}={row[f'clean_acc@{n}']:.4f}" for n in args.steps_grid
             )

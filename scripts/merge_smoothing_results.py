@@ -30,7 +30,9 @@ def paired_report(rows):
             continue
         mean = sum(diffs) / n
         sd = math.sqrt(sum((d - mean) ** 2 for d in diffs) / (n - 1))
-        t = tq.get(n - 1, 2.0)
+        # beyond the table stay CONSERVATIVE: t(30)=2.04 over-covers for
+        # every df>30 (t decreases toward 1.96), never under-covers
+        t = tq.get(n - 1, 2.04)
         wins = sum(d > 0 for d in diffs)
         print(f"paired {metric}: smoothing-standalone = {mean:+.4f} "
               f"+- {t * sd / math.sqrt(n):.4f} (95% t, n={n}; "
@@ -45,14 +47,15 @@ def main():
 
     rows, seen = [], set()
     for path in args.inputs:
-        for r in csv.DictReader(open(path)):
-            k = (r["regime"], int(r["seed"]))
-            if k in seen:
-                continue
-            seen.add(k)
-            rows.append({"regime": r["regime"], "seed": int(r["seed"]),
-                         "clean_acc": float(r["clean_acc"]),
-                         "robust_acc": float(r["robust_acc"])})
+        with open(path, newline="") as f:
+            for r in csv.DictReader(f):
+                k = (r["regime"], int(r["seed"]))
+                if k in seen:
+                    continue
+                seen.add(k)
+                rows.append({"regime": r["regime"], "seed": int(r["seed"]),
+                             "clean_acc": float(r["clean_acc"]),
+                             "robust_acc": float(r["robust_acc"])})
     rows.sort(key=lambda r: (r["regime"], r["seed"]))
     with open(args.out, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=["regime", "seed", "clean_acc",

@@ -111,10 +111,16 @@ def train_arm(arm, seed, save_dir, args):
     cifar_runner.main(argv)
 
 
-def eval_arm(arm, seed, save_dir, args, steps_grid):
-    """clean/FGSM/PGD accuracy across the step grid for one checkpoint.
+def _restore_for_eval(save_dir, args, synth_n, synth_seed):
+    """Restore one trained checkpoint for evaluation: rebuild the model +
+    optimizer template from the config sidecar, restore the train state,
+    and build the shared eval ``data()`` factory.
 
-    Returns ``{mode: [acc per step]}`` aligned with ``steps_grid``."""
+    The ONE restore path for both ``eval_arm`` and ``eval_regimes`` — a
+    drift between them would silently evaluate a mis-rebuilt model (param
+    tree mismatch at restore is exactly the hazard the attacks_runner
+    comment warns about).  Returns ``(cfg, margs, model, ts, data)``."""
+    import glob as _glob
     import itertools
 
     import jax
@@ -126,10 +132,6 @@ def eval_arm(arm, seed, save_dir, args, steps_grid):
         load_cifar10,
         synthetic_dataset,
     )
-    from neural_ode_metasolver_tpu.ops import (
-        SolverOptions,
-        parse_solver_dsl,
-    )
     from neural_ode_metasolver_tpu.runners.attacks_runner import (
         _model_from_config,
         _rebuild,
@@ -138,21 +140,15 @@ def eval_arm(arm, seed, save_dir, args, steps_grid):
         optimizer_from_saved_args,
     )
     from neural_ode_metasolver_tpu.training import (
-        AttackConfig,
-        accuracy,
-        adversarial_accuracy,
         create_train_state,
         restore_checkpoint,
     )
-
-    import glob as _glob
 
     step_dirs = sorted(_glob.glob(os.path.join(save_dir, "last", "step_*")))
     if not step_dirs:
         raise FileNotFoundError(f"no checkpoint under {save_dir}/last")
     cfg = _rebuild(step_dirs[-1])
     model, mean, std, shape = _model_from_config(cfg)
-    solvers = parse_solver_dsl(cfg["solvers"])
     margs = cfg.get("args", {})
     tx = optimizer_from_saved_args(margs)
     template = create_train_state(model, tx, jax.random.key(0))
@@ -161,8 +157,7 @@ def eval_arm(arm, seed, save_dir, args, steps_grid):
     if args.data_root:
         ds = load_cifar10(args.data_root, train=False)
     else:
-        ds = synthetic_dataset(256 if args.subset == "smoke" else 1024,
-                               shape, seed=seed + 1)
+        ds = synthetic_dataset(synth_n, shape, seed=synth_seed)
     max_batches = args.eval_batches or (
         2 if args.subset == "smoke" else None)
 
@@ -171,6 +166,33 @@ def eval_arm(arm, seed, save_dir, args, steps_grid):
                             shuffle=False, drop_last=False,
                             mean=CIFAR10_MEAN, std=CIFAR10_STD)
         return itertools.islice(it, max_batches) if max_batches else it
+
+    return cfg, margs, model, ts, data
+
+
+def eval_arm(arm, seed, save_dir, args, steps_grid):
+    """clean/FGSM/PGD accuracy across the step grid for one checkpoint.
+
+    Returns ``{mode: [acc per step]}`` aligned with ``steps_grid``."""
+    import jax
+
+    from neural_ode_metasolver_tpu.data import CIFAR10_MEAN, CIFAR10_STD
+    from neural_ode_metasolver_tpu.ops import (
+        SolverOptions,
+        parse_solver_dsl,
+    )
+    from neural_ode_metasolver_tpu.training import (
+        AttackConfig,
+        accuracy,
+        adversarial_accuracy,
+    )
+
+    cfg, margs, model, ts, data = _restore_for_eval(
+        save_dir, args,
+        synth_n=256 if args.subset == "smoke" else 1024,
+        synth_seed=seed + 1,
+    )
+    solvers = parse_solver_dsl(cfg["solvers"])
 
     opts = SolverOptions()
     attack_cfgs = {
@@ -208,29 +230,13 @@ def eval_regimes(save_dir, args):
     switch[0.6,0.4] over u in {0.5, 1.0} / solver ensembling [0.6,0.4] /
     model ensembling over 2 sigma=0.2-noised solvers with joint
     ensemble-FGSM.  Returns {(regime, mode): acc}."""
-    import glob as _glob
-    import itertools
-
     import jax
 
-    from neural_ode_metasolver_tpu.data import (
-        CIFAR10_MEAN,
-        CIFAR10_STD,
-        batch_iterator,
-        load_cifar10,
-        synthetic_dataset,
-    )
+    from neural_ode_metasolver_tpu.data import CIFAR10_MEAN, CIFAR10_STD
     from neural_ode_metasolver_tpu.ops import (
         SolverOptions,
         parse_solver_dsl,
         solver_ensemble_by_noising,
-    )
-    from neural_ode_metasolver_tpu.runners.attacks_runner import (
-        _model_from_config,
-        _rebuild,
-    )
-    from neural_ode_metasolver_tpu.runners.common import (
-        optimizer_from_saved_args,
     )
     from neural_ode_metasolver_tpu.training import (
         AttackConfig,
@@ -238,30 +244,11 @@ def eval_regimes(save_dir, args):
         accuracy_ensemble,
         adversarial_accuracy,
         adversarial_accuracy_ensemble,
-        create_train_state,
-        restore_checkpoint,
     )
 
-    step_dirs = sorted(_glob.glob(os.path.join(save_dir, "last", "step_*")))
-    cfg = _rebuild(step_dirs[-1])
-    model, mean, std, shape = _model_from_config(cfg)
-    margs = cfg.get("args", {})
-    tx = optimizer_from_saved_args(margs)
-    template = create_train_state(model, tx, jax.random.key(0))
-    ts, _ = restore_checkpoint(os.path.join(save_dir, "last"), template)
-
-    if args.data_root:
-        ds = load_cifar10(args.data_root, train=False)
-    else:
-        ds = synthetic_dataset(256, shape, seed=99)
-    max_batches = args.eval_batches or (
-        2 if args.subset == "smoke" else None)
-
-    def data():
-        it = batch_iterator(ds, margs.get("test_batch_size", 256),
-                            shuffle=False, drop_last=False,
-                            mean=CIFAR10_MEAN, std=CIFAR10_STD)
-        return itertools.islice(it, max_batches) if max_batches else it
+    cfg, margs, model, ts, data = _restore_for_eval(
+        save_dir, args, synth_n=256, synth_seed=99,
+    )
 
     base = parse_solver_dsl(cfg["solvers"])[0]
     n = 2 if args.subset == "smoke" else 8
