@@ -150,6 +150,41 @@ def test_switch_ss_loss_probs_none_replays_id():
     np.testing.assert_allclose(ss_ref, ss_ours, rtol=1e-5)
 
 
+def test_quirk6_cifar_ss_loss_raises_in_reference():
+    """quirk 6, observed live: the reference's CIFAR ``MetaODEBlock.ss_loss``
+    (odenet_cifar10/layers.py:209-211) uses ``partial`` but the module never
+    imports it (layers.py:1-8) → NameError on any call. Resurrecting the
+    dead code by injecting ``partial`` into the module namespace reveals the
+    intended computation — identical to the MNIST formula, with the same
+    quirk-4 kwarg drop — and THAT must match our working CIFAR ss-loss path
+    (models/odenet_cifar10.py:371-382, same meta_integrate seam)."""
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    from functools import partial
+    from sopa.src.models.odenet_cifar10 import layers as ref_cifar_layers
+
+    _, ref_solvers, ours = _setup()
+    block = ref_cifar_layers.MetaODEBlock(odefunc=_ToyRHS())
+    opts = Namespace(solver_mode="standalone")
+
+    # 1) the shipped code path is dead: NameError, not a result
+    with torch.no_grad():
+        with pytest.raises(NameError):
+            block.ss_loss(torch.tensor(X), ref_solvers, opts)
+
+    # 2) with partial injected, the intended value matches our CIFAR path
+    assert "partial" not in vars(ref_cifar_layers)
+    vars(ref_cifar_layers)["partial"] = partial
+    try:
+        with torch.no_grad():
+            ss_ref = float(block.ss_loss(torch.tensor(X), ref_solvers, opts))
+    finally:
+        del vars(ref_cifar_layers)["partial"]
+    ss_ours = _our_ss(ours, X, SolverOptions(solver_mode="standalone"),
+                      aux_in=None)
+    np.testing.assert_allclose(ss_ref, ss_ours, rtol=1e-5)
+
+
 def test_quirk5_switch_with_probs_raises_in_reference():
     """With explicit switch_probs the reference never assigns solver_id
     (indentation bug, layers.py:63-70) → NameError; our path works and
