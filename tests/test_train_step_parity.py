@@ -303,6 +303,31 @@ def test_flagship_adversarial_cifar_step_parity(monkeypatch):
     assert d_mean < 2e-6, f"mean abs param diff after {N} steps: {d_mean}"
 
 
+def test_adam_wd_step_parity():
+    """torch Adam semantics (train_and_attack.py:493-495 offers
+    ``--optimizer adam``): bias-corrected moments, eps OUTSIDE the sqrt,
+    coupled weight decay folded into the gradient BEFORE the moment
+    accumulators (torch.optim.Adam).  Bias correction makes the first
+    update ~lr*sign(g), so the same sign-flip chaos caveat as RMSprop
+    applies to later steps."""
+    loss_pairs, diffs = _run_both(
+        "adam",
+        dict(weight_decay=1e-4),
+        lambda ps: torch.optim.Adam(ps, lr=1e-3, betas=(0.9, 0.999),
+                                    eps=1e-8, weight_decay=1e-4),
+    )
+    # step 0: identical params -> identical losses; step 1 exposes any
+    # systematic semantics difference (decoupled wd, missing bias
+    # correction, eps inside the sqrt) at full size
+    assert abs(loss_pairs[0][0] - loss_pairs[0][1]) < 1e-5
+    assert abs(loss_pairs[1][0] - loss_pairs[1][1]) < 5e-4
+    for lj, lt in loss_pairs:
+        assert abs(lj - lt) < 5e-2
+    all_d = np.concatenate([d.ravel() for d in diffs.values()])
+    assert all_d.max() < N_STEPS * 2e-2
+    assert all_d.mean() < 2e-4, f"mean abs param diff {all_d.mean()}"
+
+
 def test_rmsprop_wd_step_parity():
     """torch RMSprop semantics: alpha=0.99, eps OUTSIDE the sqrt, coupled
     weight decay, no bias correction (runner.py:141 defaults)."""
