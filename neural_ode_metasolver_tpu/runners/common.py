@@ -72,10 +72,22 @@ def parse_num_blocks(nb):
     shared by the training CLI and every restore path — a format drift
     between them would rebuild a mismatched param tree at restore."""
     if isinstance(nb, str):
-        return tuple(
-            tuple(int(v) for v in stage.split(","))
-            for stage in nb.strip().split(";")
-        )
+        try:
+            parsed = tuple(
+                tuple(int(v) for v in stage.split(","))
+                for stage in nb.strip().split(";")
+            )
+        except ValueError:
+            raise ValueError(
+                f"--num_blocks: expected 'a,b;c,d' (ints, ';'-separated "
+                f"(res, ode) stage pairs), got {nb!r}"
+            ) from None
+        if not all(len(stage) == 2 for stage in parsed):
+            raise ValueError(
+                f"--num_blocks: every stage needs exactly (res, ode) — "
+                f"got {nb!r}"
+            )
+        return parsed
     return tuple(tuple(int(v) for v in stage) for stage in nb)
 
 

@@ -294,6 +294,8 @@ def _fit_with_trainable_solvers(model, solvers, tx, args, logger,
                 if s.v is not None:
                     rec[f"solver{i}_v"] = float(s.v)
             mlog.log(rec, step=int(ts.step))
+    if mlog:
+        mlog.close()  # release metrics.jsonl / finish wandb, like fit()
     if args.save_dir:
         save_checkpoint(os.path.join(args.save_dir, "solver_trained"), ts,
                         config)

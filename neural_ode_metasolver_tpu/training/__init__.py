@@ -16,11 +16,13 @@ from .checkpoint import (
     wait_for_checkpoints,
 )
 from .evaluate import (
+    RegimeSpec,
     accuracy,
     accuracy_ensemble,
     adversarial_accuracy,
     adversarial_accuracy_ensemble,
     make_adversarial_predict,
+    notebook_regime_grid,
     sn_test,
 )
 from .metrics import RunningAverageMeter, nfe_per_forward, nfe_per_solve
@@ -60,6 +62,8 @@ __all__ = [
     "adversarial_accuracy",
     "adversarial_accuracy_ensemble",
     "make_adversarial_predict",
+    "notebook_regime_grid",
+    "RegimeSpec",
     "sn_test",
     "RunningAverageMeter",
     "nfe_per_forward",

@@ -12,7 +12,7 @@ Parity targets:
 """
 from __future__ import annotations
 
-from typing import Iterable, Optional, Sequence, Tuple
+from typing import Iterable, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +33,8 @@ __all__ = [
     "accuracy_ensemble",
     "adversarial_accuracy_ensemble",
     "sn_test",
+    "RegimeSpec",
+    "notebook_regime_grid",
 ]
 
 
@@ -377,3 +379,75 @@ def sn_test(
                      data_factory(), key)
         )
     return accs
+
+
+class RegimeSpec(NamedTuple):
+    """One row of the Evaluate-notebook regime grid (cells 13-28).
+
+    ``solvers``/``options`` drive ``accuracy``/``adversarial_accuracy``;
+    for the model-ensembling row they are instead the noised member
+    solvers to be paired with ``(params, state)`` and fed to
+    ``accuracy_ensemble``/``adversarial_accuracy_ensemble`` (signalled by
+    ``is_model_ensemble``).  ``needs_key``: the regime draws per-batch RNG
+    (switch / solver-ensemble coin) during CLEAN eval too.
+    """
+
+    name: str
+    solvers: Sequence[ParametricSolver]
+    options: SolverOptions
+    is_model_ensemble: bool = False
+    needs_key: bool = False
+
+
+def notebook_regime_grid(
+    base_solver: ParametricSolver,
+    noise_key: Array,
+    *,
+    u_alt: float = 1.0,
+    switch_probs: Sequence[float] = (0.6, 0.4),
+    ensemble_weights: Sequence[float] = (0.6, 0.4),
+    ensemble_size: int = 2,
+    noise_std: float = 0.2,
+    noise_type: str = "normal",
+) -> "list[RegimeSpec]":
+    """The reference's four-regime evaluation grid, as data.
+
+    The ONE construction of the Evaluate-notebook table (cifar10
+    ``Evaluate the model.ipynb`` cells 13-28; BASELINE.md rows 7-10) so
+    drivers (``scripts/replicate_baseline.py``,
+    ``scripts/digits_regimes_eval.py``) can never drift apart:
+
+      1. standalone               — ``base_solver`` alone
+      2. switch[p...]             — {base, u=u_alt} under switch_probs
+      3. solver_ens[w...]         — same pair, ensemble_prob=1, weights
+      4. model_ensembling         — ``ensemble_size`` sigma=``noise_std``
+                                    ``noise_type``-noised copies (original
+                                    first, utils.py:112-117), evaluated by
+                                    softmax-prob averaging with joint
+                                    ensemble-FGSM (nb cell 25)
+    """
+    from ..ops.noise import solver_ensemble_by_noising
+
+    alt = base_solver.replace(u=u_alt, u0=u_alt)
+    fmt = lambda xs: ",".join(f"{x:g}" for x in xs)
+    noised = solver_ensemble_by_noising(
+        base_solver, noise_key, ensemble_size=ensemble_size,
+        std=noise_std, noise_type=noise_type,
+    )
+    return [
+        RegimeSpec("standalone", [base_solver], SolverOptions()),
+        RegimeSpec(
+            f"switch[{fmt(switch_probs)}]", [base_solver, alt],
+            SolverOptions(solver_mode="switch",
+                          switch_probs=list(switch_probs)),
+            needs_key=True,
+        ),
+        RegimeSpec(
+            f"solver_ens[{fmt(ensemble_weights)}]", [base_solver, alt],
+            SolverOptions(solver_mode="ensemble", ensemble_prob=1.0,
+                          ensemble_weights=list(ensemble_weights)),
+            needs_key=True,
+        ),
+        RegimeSpec("model_ensembling", noised, SolverOptions(),
+                   is_model_ensemble=True),
+    ]

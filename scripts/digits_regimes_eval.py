@@ -23,11 +23,7 @@ jax.config.update("jax_compilation_cache_dir",
 
 from neural_ode_metasolver_tpu.data import batch_iterator, load_digits_dataset
 from neural_ode_metasolver_tpu.models.api import build_model
-from neural_ode_metasolver_tpu.ops import (
-    SolverOptions,
-    create_solver,
-    solver_ensemble_by_noising,
-)
+from neural_ode_metasolver_tpu.ops import SolverOptions, create_solver
 from neural_ode_metasolver_tpu.training import (
     AttackConfig,
     accuracy,
@@ -37,6 +33,7 @@ from neural_ode_metasolver_tpu.training import (
     create_train_state,
     make_optimizer,
     make_train_step,
+    notebook_regime_grid,
 )
 
 
@@ -59,7 +56,6 @@ def main():
     train_ds, test_ds = load_digits_dataset(seed=0)
     model = build_model("mnist", dim=64)
     s05 = create_solver("rk2", "u", n_steps=8, u0=0.5)
-    s10 = create_solver("rk2", "u", n_steps=8, u0=1.0)
     opts = SolverOptions()
     tx = make_optimizer("rmsprop", 1e-3, weight_decay=5e-4)
     step = make_train_step(
@@ -108,53 +104,47 @@ def main():
               flush=True)
         rows.append(row)
 
-    # 1. standalone
-    record(
-        "standalone",
-        accuracy(model, P, S, [s05], opts, data()),
-        adversarial_accuracy(model, P, S, [s05], opts, data(), fgsm,
-                             jax.random.key(10)),
-        lambda n: accuracy(model, P, S, [regrid(s05, n)], opts, data()),
-    )
-    # 2. solver switching [0.6, 0.4]
-    sw = SolverOptions(solver_mode="switch", switch_probs=[0.6, 0.4])
-    record(
-        "switch[0.6,0.4]",
-        accuracy(model, P, S, [s05, s10], sw, data(), key=jax.random.key(11)),
-        adversarial_accuracy(model, P, S, [s05, s10], sw, data(), fgsm,
-                             jax.random.key(12)),
-        lambda n: accuracy(model, P, S,
-                           [regrid(s05, n), regrid(s10, n)], sw, data(),
-                           key=jax.random.key(11)),
-    )
-    # 3. solver ensembling [0.6, 0.4]
-    en = SolverOptions(solver_mode="ensemble", ensemble_prob=1.0,
-                       ensemble_weights=[0.6, 0.4])
-    record(
-        "solver_ens[0.6,0.4]",
-        accuracy(model, P, S, [s05, s10], en, data(), key=jax.random.key(13)),
-        adversarial_accuracy(model, P, S, [s05, s10], en, data(), fgsm,
-                             jax.random.key(14)),
-        lambda n: accuracy(model, P, S,
-                           [regrid(s05, n), regrid(s10, n)], en, data(),
-                           key=jax.random.key(13)),
-    )
-    # 4. model ensembling over noised solvers (sigma=0.2 normal)
-    noised = solver_ensemble_by_noising(s05, jax.random.key(15),
-                                        ensemble_size=2, std=0.2,
-                                        noise_type="normal")
-    members = [(P, S, [s], SolverOptions()) for s in noised]
-    record(
-        "model_ensembling",
-        accuracy_ensemble(model, members, data()),
-        adversarial_accuracy_ensemble(model, members, data(), fgsm,
-                                      jax.random.key(16)),
-        lambda n: accuracy_ensemble(
-            model,
-            [(P, S, [regrid(s, n)], SolverOptions()) for s in noised],
-            data(),
-        ),
-    )
+    # the ONE grid construction shared with scripts/replicate_baseline.py
+    # (training.notebook_regime_grid); per-regime eval keys pinned to the
+    # values the recorded results/digits_regimes.csv was produced with
+    grid = notebook_regime_grid(s05, jax.random.key(15))
+    eval_keys = {
+        "standalone": (None, 10),
+        "switch[0.6,0.4]": (11, 12),
+        "solver_ens[0.6,0.4]": (13, 14),
+        "model_ensembling": (None, 16),
+    }
+    for spec in grid:
+        k_clean, k_adv = eval_keys[spec.name]
+        if spec.is_model_ensemble:
+            members = [(P, S, [s], SolverOptions()) for s in spec.solvers]
+            record(
+                spec.name,
+                accuracy_ensemble(model, members, data()),
+                adversarial_accuracy_ensemble(model, members, data(), fgsm,
+                                              jax.random.key(k_adv)),
+                lambda n, sp=spec: accuracy_ensemble(
+                    model,
+                    [(P, S, [regrid(s, n)], SolverOptions())
+                     for s in sp.solvers],
+                    data(),
+                ),
+            )
+        else:
+            ck = None if k_clean is None else jax.random.key(k_clean)
+            record(
+                spec.name,
+                accuracy(model, P, S, list(spec.solvers), spec.options,
+                         data(), key=ck),
+                adversarial_accuracy(model, P, S, list(spec.solvers),
+                                     spec.options, data(), fgsm,
+                                     jax.random.key(k_adv)),
+                lambda n, sp=spec, kc=k_clean: accuracy(
+                    model, P, S, [regrid(s, n) for s in sp.solvers],
+                    sp.options, data(),
+                    key=None if kc is None else jax.random.key(kc),
+                ),
+            )
 
     os.makedirs(os.path.dirname(args.output_csv) or ".", exist_ok=True)
     with open(args.output_csv, "w", newline="") as f:

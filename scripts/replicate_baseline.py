@@ -41,8 +41,8 @@ BASELINE = {
 # Evaluate-notebook regime rows on the smoothing checkpoint
 # (BASELINE.md rows 7-10: single run, clean / FGSM at 8 steps).
 BASELINE_REGIMES = {
-    ("standalone_eval", "clean"): 0.8279,
-    ("standalone_eval", "fgsm"): 0.4162,
+    ("standalone", "clean"): 0.8279,
+    ("standalone", "fgsm"): 0.4162,
     ("switch[0.6,0.4]", "clean"): 0.8277,
     ("switch[0.6,0.4]", "fgsm"): 0.4162,
     ("solver_ens[0.6,0.4]", "clean"): 0.8278,
@@ -233,17 +233,14 @@ def eval_regimes(save_dir, args):
     import jax
 
     from neural_ode_metasolver_tpu.data import CIFAR10_MEAN, CIFAR10_STD
-    from neural_ode_metasolver_tpu.ops import (
-        SolverOptions,
-        parse_solver_dsl,
-        solver_ensemble_by_noising,
-    )
+    from neural_ode_metasolver_tpu.ops import SolverOptions, parse_solver_dsl
     from neural_ode_metasolver_tpu.training import (
         AttackConfig,
         accuracy,
         accuracy_ensemble,
         adversarial_accuracy,
         adversarial_accuracy_ensemble,
+        notebook_regime_grid,
     )
 
     cfg, margs, model, ts, data = _restore_for_eval(
@@ -253,7 +250,6 @@ def eval_regimes(save_dir, args):
     base = parse_solver_dsl(cfg["solvers"])[0]
     n = 2 if args.subset == "smoke" else 8
     s05 = base.replace(n_steps=n, step_size=None, custom_grid=None)
-    s10 = s05.replace(u=1.0, u0=1.0)
     fgsm = AttackConfig(mode="fgsm", eps=8 / 255, mean=CIFAR10_MEAN,
                         std=CIFAR10_STD)
     P, S = ts.params, ts.model_state
@@ -265,32 +261,31 @@ def eval_regimes(save_dir, args):
         print(f"  [regimes] {regime:20s} clean={clean:.4f} "
               f"fgsm={adv:.4f}", flush=True)
 
-    opts = SolverOptions()
-    rec("standalone_eval",
-        accuracy(model, P, S, [s05], opts, data()),
-        adversarial_accuracy(model, P, S, [s05], opts, data(), fgsm,
-                             jax.random.key(50)))
-    sw = SolverOptions(solver_mode="switch", switch_probs=[0.6, 0.4])
-    rec("switch[0.6,0.4]",
-        accuracy(model, P, S, [s05, s10], sw, data(),
-                 key=jax.random.key(51)),
-        adversarial_accuracy(model, P, S, [s05, s10], sw, data(), fgsm,
-                             jax.random.key(52)))
-    en = SolverOptions(solver_mode="ensemble", ensemble_prob=1.0,
-                       ensemble_weights=[0.6, 0.4])
-    rec("solver_ens[0.6,0.4]",
-        accuracy(model, P, S, [s05, s10], en, data(),
-                 key=jax.random.key(53)),
-        adversarial_accuracy(model, P, S, [s05, s10], en, data(), fgsm,
-                             jax.random.key(54)))
-    noised = solver_ensemble_by_noising(s05, jax.random.key(55),
-                                        ensemble_size=2, std=0.2,
-                                        noise_type="normal")
-    members = [(P, S, [s], SolverOptions()) for s in noised]
-    rec("model_ensembling",
-        accuracy_ensemble(model, members, data()),
-        adversarial_accuracy_ensemble(model, members, data(), fgsm,
-                                      jax.random.key(56)))
+    # the ONE grid construction shared with scripts/digits_regimes_eval.py
+    # (training.notebook_regime_grid); this driver's eval keys are 50-56
+    grid = notebook_regime_grid(s05, jax.random.key(55))
+    eval_keys = {
+        "standalone": (None, 50),
+        "switch[0.6,0.4]": (51, 52),
+        "solver_ens[0.6,0.4]": (53, 54),
+        "model_ensembling": (None, 56),
+    }
+    for spec in grid:
+        k_clean, k_adv = eval_keys[spec.name]
+        if spec.is_model_ensemble:
+            members = [(P, S, [s], SolverOptions()) for s in spec.solvers]
+            rec(spec.name,
+                accuracy_ensemble(model, members, data()),
+                adversarial_accuracy_ensemble(model, members, data(), fgsm,
+                                              jax.random.key(k_adv)))
+        else:
+            ck = None if k_clean is None else jax.random.key(k_clean)
+            rec(spec.name,
+                accuracy(model, P, S, list(spec.solvers), spec.options,
+                         data(), key=ck),
+                adversarial_accuracy(model, P, S, list(spec.solvers),
+                                     spec.options, data(), fgsm,
+                                     jax.random.key(k_adv)))
     return out
 
 
