@@ -413,6 +413,35 @@ def test_mesh_sharded_ensemble_eval_matches_loop():
                           batch_iterator(ds, 16, shuffle=False), mesh=mesh)
 
 
+def test_notebook_regime_grid():
+    """The shared Evaluate-notebook grid construction
+    (training.notebook_regime_grid) — the ONE source both
+    scripts/replicate_baseline.py and scripts/digits_regimes_eval.py
+    consume (nb cells 13-28 semantics)."""
+    from neural_ode_metasolver_tpu.training import notebook_regime_grid
+
+    base = create_solver("rk2", "u", n_steps=8, u0=0.5)
+    grid = notebook_regime_grid(base, jax.random.key(0))
+    assert [g.name for g in grid] == [
+        "standalone", "switch[0.6,0.4]", "solver_ens[0.6,0.4]",
+        "model_ensembling",
+    ]
+    standalone, switch, ens, mens = grid
+    assert standalone.solvers == [base] and not standalone.needs_key
+    # the alternate solver is u=1.0 with everything else inherited
+    alt = switch.solvers[1]
+    assert float(alt.u) == 1.0 and int(alt.n_steps) == 8
+    assert switch.options.solver_mode == "switch"
+    assert switch.options.switch_probs == [0.6, 0.4] and switch.needs_key
+    assert ens.options.solver_mode == "ensemble"
+    assert ens.options.ensemble_prob == 1.0
+    assert ens.options.ensemble_weights == [0.6, 0.4]
+    # model ensembling: original-first noised members (utils.py:112-117)
+    assert mens.is_model_ensemble and len(mens.solvers) == 2
+    assert float(mens.solvers[0].u) == 0.5
+    assert float(mens.solvers[1].u) != 0.5  # sigma=0.2 noise applied
+
+
 def test_sn_test_step_sweep():
     model = small_mnist_model()
     tx = make_optimizer("sgd", 0.01)
