@@ -92,11 +92,7 @@ def test_sgd_momentum_wd_step_parity():
 REFERENCE_ROOT = "/root/reference"
 
 
-@pytest.mark.skipif(
-    not __import__("os").path.isdir(REFERENCE_ROOT),
-    reason="reference not available",
-)
-def test_flagship_adversarial_cifar_step_parity(monkeypatch):
+def _run_flagship_parity(monkeypatch, smoothing: bool):
     """North-star gradient path, end to end, against the ACTUAL reference
     code: N steps of the reference ``train()`` recipe
     (examples/cifar10/train_and_attack.py:246-323) — premetanode10
@@ -108,6 +104,12 @@ def test_flagship_adversarial_cifar_step_parity(monkeypatch):
     The attack's randomness is pinned by injecting one fixed uniform draw
     into both frameworks (torch.rand_like / jax.random.uniform), so every
     per-step loss and the final parameters must agree.
+
+    With ``smoothing=True`` the recipe's last ingredient is enabled too:
+    solver smoothing (train_and_attack.py:266-273 noise + :319-323
+    denoise), with both frameworks' noise draws pinned to the same
+    u'=0.55 — the gradient then flows through the perturbed tableau
+    every step while the base solver must come back to u0 afterwards.
     """
     import contextlib
     import importlib.util
@@ -204,8 +206,18 @@ def test_flagship_adversarial_cifar_step_parity(monkeypatch):
         topt, base_lr=BASE_LR, max_lr=MAX_LR, step_size_up=SSU,
         mode="triangular2", cycle_momentum=True,
     )
+    U_PIN = 0.55
+    if smoothing:
+        # pin the reference's noise draw (train() noises via the
+        # module-global noise_params, train_and_attack.py:266-273)
+        monkeypatch.setattr(
+            ref, "noise_params",
+            lambda u0, v0, **kw: (torch.tensor(U_PIN), None),
+        )
     cfg_ns = Namespace(
-        zero_grad_every=1, noise_type=None,
+        zero_grad_every=1,
+        noise_type="normal" if smoothing else None,
+        noise_sigma=0.0125, noise_prob=1.0,
         adv_training_mode="fgsm_random", data_noise_std=0.0,
         ss_loss=False, grad_clipping_threshold=None,
     )
@@ -252,10 +264,28 @@ def test_flagship_adversarial_cifar_step_parity(monkeypatch):
     ts = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                     model_state=state, opt_state=tx.init(params))
     solvers = [create_solver("rk2", "u", n_steps=8, u0=0.5)]
+    noise_cfg = None
+    if smoothing:
+        # pin OUR noise draw to the same u' (the patched sampler ignores
+        # the key; _noise_solvers is looked up from module globals at
+        # trace time, so patching before make_train_step is enough)
+        from neural_ode_metasolver_tpu.training import train as train_mod
+
+        monkeypatch.setattr(
+            train_mod, "_noise_solvers",
+            lambda base, key, cfg: [
+                s.replace(u=jnp.asarray(U_PIN, jnp.float32)) for s in base
+            ],
+        )
+        from neural_ode_metasolver_tpu.training import NoiseConfig
+
+        noise_cfg = NoiseConfig(noise_type="normal", sigma=0.0125,
+                                prob=1.0)
     step = make_train_step(
         model, tx, solvers, SolverOptions(),
         attack_cfg=AttackConfig(mode="fgsm_random", eps=8 / 255,
                                 alpha=10 / 255, mean=MEAN, std=STD),
+        **({"noise_cfg": noise_cfg} if noise_cfg is not None else {}),
         jit_compile=True, donate=False,
     )
 
@@ -301,6 +331,31 @@ def test_flagship_adversarial_cifar_step_parity(monkeypatch):
     d_max, d_mean = param_dev(ts.params)
     assert d_max < 1e-3, f"max abs param diff after {N} steps: {d_max}"
     assert d_mean < 2e-6, f"mean abs param diff after {N} steps: {d_mean}"
+
+    if smoothing:
+        # denoise parity: the reference restores u0 after every step
+        # (train_and_attack.py:319-323); our base solvers are immutable
+        assert float(rsolver.u) == pytest.approx(0.5)
+        assert float(solvers[0].u) == pytest.approx(0.5)
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(REFERENCE_ROOT),
+    reason="reference not available",
+)
+def test_flagship_adversarial_cifar_step_parity(monkeypatch):
+    _run_flagship_parity(monkeypatch, smoothing=False)
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(REFERENCE_ROOT),
+    reason="reference not available",
+)
+def test_flagship_adversarial_smoothing_step_parity(monkeypatch):
+    """The FULL flagship recipe including solver smoothing, noise pinned
+    to the same u' in both frameworks (README.md:52-66: fgsm_random +
+    smoothing sigma=0.0125 is the north-star training configuration)."""
+    _run_flagship_parity(monkeypatch, smoothing=True)
 
 
 def test_adam_wd_step_parity():
