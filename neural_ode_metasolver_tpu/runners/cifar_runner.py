@@ -172,6 +172,9 @@ def build_parser():
                         "counts, e.g. '1,2;1,2' for two stages of one res "
                         "+ two ODE blocks — custom deep ODE stacks (the "
                         "shape pp pays on)")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a TensorBoard device trace of "
+                        "steady-state steps 1-3 (epoch 0) into this dir")
     p.add_argument("--prefetch", type=int, default=2,
                    help="batches to device_put ahead of the train step "
                         "(0 disables; overlaps upload with compute)")

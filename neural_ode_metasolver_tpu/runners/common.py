@@ -399,6 +399,8 @@ def fit(
 
     prefetch = getattr(args, "prefetch", 2)
     mlog = MetricsLogger(save_dir, config=config) if save_dir else None
+    profile_dir = getattr(args, "profile_dir", None)
+    profiling = False
     for epoch in range(getattr(args, "nepochs", 1)):
         # Throughput discipline: batches are device_put ahead of the step
         # (upload rides under compute) and per-step metrics stay on device
@@ -422,6 +424,25 @@ def fit(
             if "skipped_nonfinite" in m:
                 skipped.append(m["skipped_nonfinite"])
             n_batches += 1
+            if profile_dir and epoch == 0:
+                # TensorBoard-loadable device trace of steady-state steps
+                # 1-3 (step 0 is the compile; tracing it would swamp the
+                # timeline) — SURVEY.md §5 tracing/profiling
+                if n_batches == 1:
+                    jax.block_until_ready(m["loss"])
+                    jax.profiler.start_trace(profile_dir)
+                    profiling = True
+                elif n_batches == 4 and profiling:
+                    jax.block_until_ready(m["loss"])
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    logger.info(f"profiler trace (steps 1-3) in "
+                                f"{profile_dir}")
+        if profiling:  # epoch had <4 batches; close the trace cleanly
+            jax.block_until_ready(losses[-1])
+            jax.profiler.stop_trace()
+            profiling = False
+            logger.info(f"profiler trace in {profile_dir}")
         losses = [float(v) for v in jax.device_get(losses)]  # drains the queue
         skipped = float(np.sum(jax.device_get(skipped))) if skipped else 0.0
         if not n_batches:

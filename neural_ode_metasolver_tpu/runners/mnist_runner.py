@@ -123,6 +123,9 @@ def build_parser():
                    help="multi-chip training: axis spec like 'data=8' or "
                         "'data=4,model=2' (tp) or 'data=2,sp=2' (spatial); "
                         "shards the jitted step over a jax.sharding.Mesh")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a TensorBoard device trace of "
+                        "steady-state steps 1-3 (epoch 0) into this dir")
     p.add_argument("--prefetch", type=int, default=2,
                    help="batches to device_put ahead of the train step "
                         "(0 disables; overlaps upload with compute)")

@@ -26,6 +26,25 @@ def test_mnist_runner_end_to_end(tmp_path):
     assert glob.glob(os.path.join(save, "last", "step_*"))
 
 
+def test_mnist_runner_profile_dir(tmp_path):
+    """--profile_dir captures a TensorBoard-loadable device trace of
+    steady-state steps 1-3 (and closes cleanly on short epochs)."""
+    save = str(tmp_path / "mnist_prof")
+    trace_dir = str(tmp_path / "trace")
+    mnist_runner.main([
+        "--solvers", "rk2,u,2,-1,0.5,-1",
+        "--nepochs", "1",
+        "--batch_size", "16",
+        "--test_batch_size", "16",
+        "--synthetic_train_size", "80",  # 5 batches: full 1-3 window
+        "--synthetic_test_size", "32",
+        "--save_dir", save,
+        "--profile_dir", trace_dir,
+    ])
+    assert glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                     recursive=True)
+
+
 def test_cifar_runner_with_switch_validation(tmp_path):
     save = str(tmp_path / "cifar_exp")
     cifar_runner.main([
