@@ -50,6 +50,46 @@ def test_fix_seeds_and_count_parameters():
     assert count_parameters({"a": jnp.ones((2, 3)), "b": [jnp.ones(4)]}) == 10
 
 
+REFERENCE_ROOT = "/root/reference"
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE_ROOT),
+                    reason="reference not available")
+def test_shared_utils_match_reference():
+    """Live cross-validation of the last shared-utils pieces against the
+    reference's own code: RunningAverageMeter (models/utils.py:17-33,
+    first-update snap + 0.99 EMA) and count_parameters
+    (odenet_mnist/utils.py:21-23) on the same MNIST model."""
+    import sys
+
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    torch = pytest.importorskip("torch")
+    from sopa.src.models.utils import RunningAverageMeter as RefMeter
+    from sopa.src.models.odenet_mnist.utils import (
+        count_parameters as ref_count,
+    )
+    from sopa.src.models.odenet_mnist.layers import MetaNODE as RefMetaNODE
+
+    from neural_ode_metasolver_tpu.training import RunningAverageMeter
+    from neural_ode_metasolver_tpu.models import (
+        mnist_params_from_torch_state_dict,
+    )
+
+    ours, ref = RunningAverageMeter(momentum=0.97), RefMeter(momentum=0.97)
+    rs = np.random.RandomState(0)
+    for v in rs.rand(50):
+        ours.update(float(v))
+        ref.update(float(v))
+        assert ours.avg == pytest.approx(ref.avg, abs=1e-12)
+
+    tm = RefMetaNODE(downsampling_method="conv", is_odenet=True)
+    params = mnist_params_from_torch_state_dict(
+        {k: v.numpy() for k, v in tm.state_dict().items()}
+    )
+    assert count_parameters(params) == ref_count(tm)
+
+
 def test_inf_generator_restarts():
     ds = synthetic_dataset(8, (4, 4, 1), seed=0)
 
