@@ -48,6 +48,28 @@ def test_solver_u_moves_and_stays_valid():
     assert np.isfinite(float(m["loss"]))
 
 
+def test_solver_u_boundary_starts_stay_contained():
+    """Starts ON the validity boundaries: the post-update clip keeps u in
+    [1e-3, 1] under boundary pressure (an outward gradient pins u at the
+    bound — observed live on-chip at u0=1.0, results/RESULTS.md — and an
+    inward one re-enters), training stays finite either way. A huge
+    lr_uv forces boundary crossings every step."""
+    for u_start in (1.0, 1e-3):
+        solvers = [create_solver("rk2", "u", n_steps=4, u0=u_start)]
+        model = build_model("mnist", dim=16)
+        tx = make_optimizer("sgd", 0.05, momentum=0.9)
+        solver_tx = make_optimizer("sgd", 5.0)  # absurd lr_uv on purpose
+        ts = create_solver_train_state(model, tx, solver_tx, solvers,
+                                       jax.random.key(0))
+        step = make_solver_train_step(model, tx, solver_tx, solvers, OPTS)
+        for i, (x, y) in enumerate(batches(6)):
+            ts, m = step(ts, jnp.asarray(x), jnp.asarray(y),
+                         jax.random.key(i))
+            u = float(ts.solver_params[0]["u"])
+            assert 1e-3 <= u <= 1.0, (u_start, i, u)
+            assert np.isfinite(float(m["loss"])), (u_start, i)
+
+
 def test_rk3_both_params_train():
     solvers = [create_solver("rk3", "uv", n_steps=4, u0=1 / 3, v0=2 / 3)]
     model, ts, step = setup(solvers)
