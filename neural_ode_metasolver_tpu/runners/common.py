@@ -82,13 +82,14 @@ def parse_num_blocks(nb):
                 f"--num_blocks: expected 'a,b;c,d' (ints, ';'-separated "
                 f"(res, ode) stage pairs), got {nb!r}"
             ) from None
-        if not all(len(stage) == 2 for stage in parsed):
-            raise ValueError(
-                f"--num_blocks: every stage needs exactly (res, ode) — "
-                f"got {nb!r}"
-            )
-        return parsed
-    return tuple(tuple(int(v) for v in stage) for stage in nb)
+    else:
+        parsed = tuple(tuple(int(v) for v in stage) for stage in nb)
+    if not all(len(stage) == 2 for stage in parsed):
+        raise ValueError(
+            f"--num_blocks: every stage needs exactly (res, ode) — "
+            f"got {nb!r}"
+        )
+    return parsed
 
 
 def optimizer_from_saved_args(margs: dict):
@@ -417,32 +418,38 @@ def fit(
         skipped = []
         n_batches = 0
         t_epoch = time.perf_counter()
-        for x, y in batches:
-            key, sub = jax.random.split(key)
-            ts, m = step(ts, jnp.asarray(x), jnp.asarray(y), sub)
-            losses.append(m["loss"])
-            if "skipped_nonfinite" in m:
-                skipped.append(m["skipped_nonfinite"])
-            n_batches += 1
-            if profile_dir and epoch == 0:
-                # TensorBoard-loadable device trace of steady-state steps
-                # 1-3 (step 0 is the compile; tracing it would swamp the
-                # timeline) — SURVEY.md §5 tracing/profiling
-                if n_batches == 1:
-                    jax.block_until_ready(m["loss"])
-                    jax.profiler.start_trace(profile_dir)
-                    profiling = True
-                elif n_batches == 4 and profiling:
-                    jax.block_until_ready(m["loss"])
-                    jax.profiler.stop_trace()
-                    profiling = False
-                    logger.info(f"profiler trace (steps 1-3) in "
-                                f"{profile_dir}")
-        if profiling:  # epoch had <4 batches; close the trace cleanly
-            jax.block_until_ready(losses[-1])
-            jax.profiler.stop_trace()
-            profiling = False
-            logger.info(f"profiler trace in {profile_dir}")
+        try:
+            for x, y in batches:
+                key, sub = jax.random.split(key)
+                ts, m = step(ts, jnp.asarray(x), jnp.asarray(y), sub)
+                losses.append(m["loss"])
+                if "skipped_nonfinite" in m:
+                    skipped.append(m["skipped_nonfinite"])
+                n_batches += 1
+                if profile_dir and epoch == 0:
+                    # TensorBoard-loadable device trace of steady-state
+                    # steps 1-3 (step 0 is the compile; tracing it would
+                    # swamp the timeline) — SURVEY.md §5 tracing/profiling
+                    if n_batches == 1:
+                        jax.block_until_ready(m["loss"])
+                        jax.profiler.start_trace(profile_dir)
+                        profiling = True
+                    elif n_batches == 4 and profiling:
+                        jax.block_until_ready(m["loss"])
+                        jax.profiler.stop_trace()
+                        profiling = False
+                        logger.info(f"profiler trace (steps 1-3) in "
+                                    f"{profile_dir}")
+        finally:
+            if profiling:
+                # short epoch (<4 batches) OR an exception mid-window:
+                # flush whatever was captured — on a crash the partial
+                # trace is exactly the artifact worth keeping
+                if losses:
+                    jax.block_until_ready(losses[-1])
+                jax.profiler.stop_trace()
+                profiling = False
+                logger.info(f"profiler trace in {profile_dir}")
         losses = [float(v) for v in jax.device_get(losses)]  # drains the queue
         skipped = float(np.sum(jax.device_get(skipped))) if skipped else 0.0
         if not n_batches:

@@ -229,6 +229,11 @@ def main(argv=None):
                 "gradients (the continuous adjoint treats the tableau as "
                 "the integration method — u/v get no gradient; "
                 "ops/adjoint.py docstring)")
+        if getattr(args, "profile_dir", None):
+            raise ValueError(
+                "--profile_dir is not supported with --train_solver_params "
+                "(the joint solver-parameter loop has no trace window); "
+                "profile the frozen-solver step instead")
         _fit_with_trainable_solvers(model, solvers, tx, args, logger,
                                     train_data, eval_data, config)
     else:

@@ -108,6 +108,8 @@ def main():
     # (training.notebook_regime_grid); per-regime eval keys pinned to the
     # values the recorded results/digits_regimes.csv was produced with
     grid = notebook_regime_grid(s05, jax.random.key(15))
+    # script-local eval key SEEDS only; whether clean eval needs a key at
+    # all comes from the spec itself (RegimeSpec.needs_key)
     eval_keys = {
         "standalone": (None, 10),
         "switch[0.6,0.4]": (11, 12),
@@ -116,6 +118,7 @@ def main():
     }
     for spec in grid:
         k_clean, k_adv = eval_keys[spec.name]
+        assert (k_clean is not None) == spec.needs_key, spec.name
         if spec.is_model_ensemble:
             members = [(P, S, [s], SolverOptions()) for s in spec.solvers]
             record(

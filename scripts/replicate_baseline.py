@@ -264,6 +264,8 @@ def eval_regimes(save_dir, args):
     # the ONE grid construction shared with scripts/digits_regimes_eval.py
     # (training.notebook_regime_grid); this driver's eval keys are 50-56
     grid = notebook_regime_grid(s05, jax.random.key(55))
+    # script-local eval key SEEDS only; whether clean eval needs a key at
+    # all comes from the spec itself (RegimeSpec.needs_key)
     eval_keys = {
         "standalone": (None, 50),
         "switch[0.6,0.4]": (51, 52),
@@ -272,6 +274,7 @@ def eval_regimes(save_dir, args):
     }
     for spec in grid:
         k_clean, k_adv = eval_keys[spec.name]
+        assert (k_clean is not None) == spec.needs_key, spec.name
         if spec.is_model_ensemble:
             members = [(P, S, [s], SolverOptions()) for s in spec.solvers]
             rec(spec.name,

@@ -83,8 +83,17 @@ def test_sn_test_matches_reference_metrics():
         tm, loader, torch.device("cpu"), [rsolver], opts, NSTEPS_GRID
     )
     # the sweep must also have actually changed the grid (1-step RK2 on a
-    # random net differs from 8-step), otherwise the lambda regrid is dead
-    assert len(set(float(a) for a in ref_accs)) >= 1
+    # random net differs from 8-step), otherwise the lambda regrid is dead.
+    # Accuracy is too coarse to witness this (argmax counts can coincide),
+    # so check the reference model's LOGITS move when the grid does —
+    # sn_test leaves the last grid (8 steps) installed on the solver.
+    xb = torch.tensor(x[:4].transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        out8 = tm(xb, [rsolver], opts)
+        rsolver.grid_constructor = lambda t: torch.linspace(t[0], t[-1], 2)
+        out1 = tm(xb, [rsolver], opts)
+        rsolver.grid_constructor = lambda t: torch.linspace(t[0], t[-1], 9)
+    assert float((out8 - out1).abs().max()) > 1e-4, "regrid had no effect"
 
     sd = {k: v.numpy() for k, v in tm.state_dict().items()}
     params = mnist_params_from_torch_state_dict(sd)

@@ -44,6 +44,31 @@ def test_mnist_runner_profile_dir(tmp_path):
     assert glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
                      recursive=True)
 
+    # short epoch (48 samples -> 3 batches): the trace must be closed by
+    # the post-loop finally branch and still produce an artifact
+    trace2 = str(tmp_path / "trace_short")
+    mnist_runner.main([
+        "--solvers", "rk2,u,2,-1,0.5,-1",
+        "--nepochs", "1",
+        "--batch_size", "16",
+        "--test_batch_size", "16",
+        "--synthetic_train_size", "48",
+        "--synthetic_test_size", "32",
+        "--save_dir", str(tmp_path / "mnist_prof2"),
+        "--profile_dir", trace2,
+    ])
+    assert glob.glob(os.path.join(trace2, "**", "*.xplane.pb"),
+                     recursive=True)
+
+    # unsupported with the joint solver-parameter loop: explicit error
+    with pytest.raises(ValueError, match="profile_dir"):
+        mnist_runner.main([
+            "--train_solver_params", "--profile_dir", trace2,
+            "--solvers", "rk2,u,2,-1,0.5,-1", "--nepochs", "1",
+            "--synthetic_train_size", "32", "--save_dir",
+            str(tmp_path / "mnist_prof3"),
+        ])
+
 
 def test_cifar_runner_with_switch_validation(tmp_path):
     save = str(tmp_path / "cifar_exp")
