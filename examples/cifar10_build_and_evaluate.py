@@ -40,9 +40,8 @@ from neural_ode_metasolver_tpu.training import (
     accuracy_ensemble,
     adversarial_accuracy,
     adversarial_accuracy_ensemble,
-    constant_lr,
     create_train_state,
-    make_optimizer,
+    load_checkpoint_config,
     restore_checkpoint,
 )
 
@@ -65,8 +64,15 @@ def main():
     # --- Build the model (Build nb) -------------------------------------
     model = build_model("premetanode10", in_planes=args.in_planes)
     if args.checkpoint:
-        tx = make_optimizer("sgd", constant_lr(0.1), momentum=0.9,
-                            weight_decay=5e-4)
+        # the saved config determines the opt-state pytree layout
+        # (cycle_momentum / clipping / MultiSteps / nan_backoff), so the
+        # template optimizer must be rebuilt from it — not hardcoded
+        from neural_ode_metasolver_tpu.runners.common import (
+            optimizer_from_saved_args,
+        )
+
+        cfg0 = load_checkpoint_config(args.checkpoint) or {}
+        tx = optimizer_from_saved_args(cfg0.get("args", {}))
         template = create_train_state(model, tx, jax.random.key(0))
         ts, cfg = restore_checkpoint(args.checkpoint, template)
         params, state = ts.params, ts.model_state

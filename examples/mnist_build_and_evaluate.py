@@ -22,9 +22,8 @@ from neural_ode_metasolver_tpu.training import (
     AttackConfig,
     accuracy,
     adversarial_accuracy,
-    constant_lr,
     create_train_state,
-    make_optimizer,
+    load_checkpoint_config,
     restore_checkpoint,
     sn_test,
 )
@@ -45,7 +44,14 @@ def main():
 
     model = build_model("mnist")
     if args.checkpoint:
-        tx = make_optimizer("rmsprop", constant_lr(0.1), weight_decay=5e-4)
+        # rebuild the optimizer from the saved config so the template's
+        # opt-state pytree matches (nan_backoff etc. change the layout)
+        from neural_ode_metasolver_tpu.runners.common import (
+            optimizer_from_saved_args,
+        )
+
+        cfg0 = load_checkpoint_config(args.checkpoint) or {}
+        tx = optimizer_from_saved_args(cfg0.get("args", {}))
         template = create_train_state(model, tx, jax.random.key(0))
         ts, _ = restore_checkpoint(args.checkpoint, template)
         params, state = ts.params, ts.model_state

@@ -11,6 +11,7 @@ from .accuracy_tables import load_accuracy_table, save_accuracy_table
 from .profiling import annotate, trace
 from .checkpoint import (
     latest_step,
+    load_checkpoint_config,
     restore_checkpoint,
     save_checkpoint,
     wait_for_checkpoints,
@@ -54,6 +55,7 @@ __all__ = [
     "annotate",
     "trace",
     "latest_step",
+    "load_checkpoint_config",
     "restore_checkpoint",
     "save_checkpoint",
     "wait_for_checkpoints",

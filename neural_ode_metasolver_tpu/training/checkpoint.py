@@ -19,6 +19,7 @@ from .train import TrainState
 __all__ = [
     "save_checkpoint",
     "restore_checkpoint",
+    "load_checkpoint_config",
     "latest_step",
     "wait_for_checkpoints",
 ]
@@ -103,6 +104,25 @@ def latest_step(base_dir: str) -> Optional[int]:
             except ValueError:
                 pass
     return max(steps) if steps else None
+
+
+def load_checkpoint_config(base_dir: str, step: Optional[int] = None):
+    """Read a checkpoint's ``config.json`` sidecar WITHOUT restoring state.
+
+    Restore paths need the saved config first — the optimizer flags in it
+    determine the opt-state pytree layout of the structure-matching
+    template (``runners.common.optimizer_from_saved_args``) that
+    :func:`restore_checkpoint` requires.  Returns None if the checkpoint
+    has no sidecar."""
+    if step is None:
+        step = latest_step(base_dir)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {base_dir}")
+    cfg_path = os.path.join(_ckpt_dir(base_dir, step), "config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            return json.load(f)
+    return None
 
 
 def restore_checkpoint(

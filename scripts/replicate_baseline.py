@@ -337,6 +337,7 @@ def main(argv=None):
     os.makedirs(args.out_dir, exist_ok=True)
     tables = {}  # (arm, mode) -> rows (one per seed)
     regime_rows = None
+    regime_seed = seeds[1] if len(seeds) > 1 else seeds[0]
     for arm in args.arms:
         for seed in seeds:
             save_dir = os.path.join(args.out_dir, f"{arm}_seed{seed}")
@@ -348,9 +349,13 @@ def main(argv=None):
             accs = eval_arm(arm, seed, save_dir, args, steps_grid)
             for mode, row in accs.items():
                 tables.setdefault((arm, mode), []).append(row)
-            if arm == "smoothing" and seed == seeds[0]:
-                # Evaluate-notebook regime grid on the first smoothing
-                # checkpoint (BASELINE.md rows 7-10)
+            if arm == "smoothing" and seed == regime_seed:
+                # Evaluate-notebook regime grid on the SECOND smoothing
+                # checkpoint when available: BASELINE_REGIMES standalone
+                # clean/fgsm (0.8279/0.4162) equal the second pkl seed's
+                # 8-step values, i.e. the notebook ran on that seed's
+                # checkpoint — comparing a different seed's checkpoint
+                # would bake a systematic delta into the 0.5% bar
                 print(f"== regime grid on {arm} seed={seed} ==", flush=True)
                 regime_rows = eval_regimes(save_dir, args)
 

@@ -68,3 +68,34 @@ def test_replicate_baseline_smoke_driver(tmp_path):
         os.path.join(out_dir, "accuracy", "fgsm_random_8_255_clean.pkl"))
     assert t["steps_arr"] == [1, 2] and len(t["accs"]) == 1
     assert os.path.exists(os.path.join(out_dir, "report.md"))
+
+
+def test_cifar_example_restores_default_runner_checkpoint(tmp_path):
+    """The example's restore template must be rebuilt from the saved
+    config: a checkpoint trained with the runner DEFAULTS (sgd +
+    cycle_momentum=True wraps the momentum trace in inject_hyperparams,
+    changing the opt-state pytree) previously failed orbax restore
+    against the example's hardcoded plain-SGD template."""
+    import glob
+
+    from neural_ode_metasolver_tpu.runners import cifar_runner
+
+    save = str(tmp_path / "exp")
+    cifar_runner.main([
+        "--network", "premetanode10",  # the example builds this registry
+        "--in_planes", "8",
+        "--solvers", "rk2,u,2,-1,0.5,-1",
+        "--nepochs", "1",
+        "--batch_size", "8",
+        "--test_batch_size", "8",
+        "--synthetic_train_size", "32",
+        "--synthetic_test_size", "16",
+        "--val_perc", "0.25",
+        "--save_dir", save,
+    ])
+    ckpt = os.path.join(save, "last")  # written unconditionally
+    assert glob.glob(os.path.join(ckpt, "step_*"))
+    out = _run("cifar10_build_and_evaluate.py",
+               ["--checkpoint", ckpt, "--in_planes", "8",
+                "--batch_size", "8", "--n_eval", "16", "--n_steps", "2"])
+    assert "loaded checkpoint" in out

@@ -590,16 +590,11 @@ def test_pp_train_step_matches_sequential():
 
     def run(model, parallel):
         ts = create_train_state(model, tx, jax.random.key(0))
-        raw = make_train_step(model, tx, solvers, opts,
-                              jit_compile=not parallel,
-                              donate=False)
+        step = make_train_step(model, tx, solvers, opts,
+                               jit_compile=not parallel, donate=False)
         if parallel:
-            raw = make_parallel_train_step(
-                make_train_step(model, tx, solvers, opts,
-                                jit_compile=False, donate=False),
-                mesh, ts,
-            )
-        ts2, m = raw(ts, x, y, jax.random.key(9))
+            step = make_parallel_train_step(step, mesh, ts)
+        ts2, m = step(ts, x, y, jax.random.key(9))
         return ts2, m
 
     ts_seq, m_seq = run(seq, False)
