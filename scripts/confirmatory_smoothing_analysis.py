@@ -85,12 +85,46 @@ def analyze(by, expected_n):
     return results
 
 
+def descriptives(paths, collapse_below=0.7):
+    """POST-HOC DESCRIPTIVE ONLY (not part of the pre-registered
+    inference): per-arm means over every seed in the inputs (no seed
+    window) and counts of collapse events — runs whose robust accuracy
+    fell below ``collapse_below``, the catastrophic-overfitting tail of
+    PGD adversarial training that dominates the paired sd."""
+    rows = []
+    for path in paths:
+        with open(path, newline="") as f:
+            rows.extend(csv.DictReader(f))
+    seen = set()
+    print(f"\n-- descriptive (ALL seeds in inputs; post hoc) --")
+    for regime in ("standalone", "smoothing"):
+        arm = {}
+        for r in rows:
+            if r["regime"] == regime:
+                arm[int(r["seed"])] = (float(r["clean_acc"]),
+                                       float(r["robust_acc"]))
+        if not arm:
+            continue
+        cleans = [v[0] for v in arm.values()]
+        robusts = [v[1] for v in arm.values()]
+        n = len(arm)
+        collapses = sum(v < collapse_below for v in robusts)
+        print(f"{regime:10s} n={n} clean {sum(cleans) / n:.4f} "
+              f"robust {sum(robusts) / n:.4f} "
+              f"collapses(robust<{collapse_below}) {collapses}")
+        seen |= set(arm)
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("inputs", nargs="+")
     p.add_argument("--expected_n", type=int, default=192)
+    p.add_argument("--descriptives", action="store_true",
+                   help="append the post-hoc pooled/collapse table")
     args = p.parse_args()
     analyze(load_confirmatory(args.inputs), args.expected_n)
+    if args.descriptives:
+        descriptives(args.inputs)
 
 
 if __name__ == "__main__":
