@@ -154,8 +154,16 @@ def pgd(
     randomized_start: bool = True,
     mean=None,
     std=None,
+    fwd_key: Optional[Array] = None,
 ) -> Tuple[Array, Array]:
-    """Projected gradient descent (pgd.py:23-57) with a fori_loop inner loop."""
+    """Projected gradient descent (pgd.py:23-57) with a fori_loop inner loop.
+
+    ``fwd_key``: when given, ``forward`` is called as ``forward(x, k_i)``
+    with ``k_i = fold_in(fwd_key, i)`` so every PGD iteration draws its
+    OWN regime choice (switch solver id / ensemble coin) — the reference
+    resamples via np.random on every model forward (mnist layers.py:27,33),
+    whereas a key-less closure pins one draw for all ``n_iter`` forwards.
+    Regimes that ignore the key (standalone) are numerically unaffected."""
     x01 = inv_normalize(x, mean, std)
 
     if randomized_start:
@@ -169,11 +177,16 @@ def pgd(
     else:
         init = x01
 
-    def loss_fn(xa):
-        return cross_entropy(forward(normalize(xa, mean, std)), y)
+    if fwd_key is None:
+        def call(xa, i):
+            return forward(normalize(xa, mean, std))
+    else:
+        def call(xa, i):
+            return forward(normalize(xa, mean, std),
+                           jax.random.fold_in(fwd_key, i))
 
-    def body(_, xa):
-        grad = jax.grad(loss_fn)(xa)
+    def body(i, xa):
+        grad = jax.grad(lambda z: cross_entropy(call(z, i), y))(xa)
         xa = jnp.clip(xa + lr * jnp.sign(grad), x01 - eps, x01 + eps)
         return jnp.clip(xa, 0.0, 1.0)
 

@@ -143,6 +143,15 @@ def fused_group_norm_act(
 
 
 def _fwd(x, scale, bias, num_groups, eps, act, interpret):
+    # re-validate here: under jax.grad/vjp the custom_vjp primal body is
+    # bypassed and this rule IS the forward, so a check living only in
+    # the primal would let a differentiated call run the padded kernel
+    # with silently mis-normalized trailing channels
+    if x.shape[-1] % num_groups:
+        raise ValueError(
+            f"channels ({x.shape[-1]}) must be divisible by num_groups "
+            f"({num_groups})"
+        )
     out = _gn_act_fwd_pallas(x, scale, bias, num_groups, eps, act, interpret)
     return out, (x, scale, bias)
 

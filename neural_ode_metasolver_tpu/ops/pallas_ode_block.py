@@ -160,7 +160,10 @@ def ode_block_rk2_forward(
     n, h, wdt, c = y0.shape
     compute_dtype = y0.dtype
     if batch_tile is None:
-        per_img = h * wdt * c * 2  # bf16 working tensors
+        # size by the ACTUAL element width: an f32 input doubles the
+        # working set vs bf16, so a hardcoded 2-byte assumption would
+        # pick a 2x-too-large tile and blow the VMEM budget
+        per_img = h * wdt * c * compute_dtype.itemsize
         # live set: y, k1, k2, padded copy, stage intermediate, f32 conv
         # accumulator (2x), plus double-buffered in/out blocks — ~12 tensor
         # equivalents must fit the 16 MB VMEM budget

@@ -161,16 +161,16 @@ def create_solver(
 ) -> ParametricSolver:
     """Factory with reference semantics (solvers/utils.py:13-57).
 
-    ``-1`` sentinels for n_steps/step_size/u0/v0 mean "not set".
-    """
+    ``-1`` sentinels mean "not set" for n_steps/step_size ONLY — exactly
+    the reference's mapping (utils.py:23-27). A ``-1`` in u0/v0 passes
+    through verbatim like the reference and is clamped into the validity
+    region at tableau build (e.g. rk2 u=-1 -> eps). ``None`` u0/v0 (the
+    Python-API default, unreachable from the DSL) selects the
+    conventional starting points (rk2 1/2; rk3/rk4 1/3, 2/3)."""
     if n_steps == -1:
         n_steps = None
     if step_size == -1:
         step_size = None
-    if u0 == -1:
-        u0 = None
-    if v0 == -1:
-        v0 = None
     method = method.lower()
     if method not in _ORDERS:
         raise ValueError(f"unknown solver method {method!r}")
@@ -181,6 +181,7 @@ def create_solver(
     elif method == "rk2":
         if parameterization != "u":
             raise ValueError("Unknown parameterization for rk2 solver")
+        u0 = 0.5 if u0 is None else u0
         u = jnp.asarray(u0, dtype)
         v = None
         v0 = None

@@ -23,6 +23,8 @@ from .evaluate import (
     adversarial_accuracy,
     adversarial_accuracy_ensemble,
     make_adversarial_predict,
+    make_ensemble_attacked_probs,
+    make_ensemble_probs,
     notebook_regime_grid,
     sn_test,
 )
@@ -64,6 +66,8 @@ __all__ = [
     "adversarial_accuracy",
     "adversarial_accuracy_ensemble",
     "make_adversarial_predict",
+    "make_ensemble_attacked_probs",
+    "make_ensemble_probs",
     "notebook_regime_grid",
     "RegimeSpec",
     "sn_test",

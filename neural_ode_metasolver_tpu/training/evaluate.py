@@ -31,6 +31,8 @@ __all__ = [
     "adversarial_accuracy",
     "make_adversarial_predict",
     "accuracy_ensemble",
+    "make_ensemble_probs",
+    "make_ensemble_attacked_probs",
     "adversarial_accuracy_ensemble",
     "sn_test",
     "RegimeSpec",
@@ -94,10 +96,10 @@ def make_adversarial_predict(
 
     @jax.jit
     def attacked_logits(params, state, x, y, k_attack, k_fwd):
-        def fwd(xi):
+        def fwd(xi, k=None):
             logits, _, _ = model.apply(
-                params, state, xi, solvers, solver_options, key=k_fwd,
-                train=False,
+                params, state, xi, solvers, solver_options,
+                key=k_fwd if k is None else k, train=False,
             )
             return logits
 
@@ -108,7 +110,7 @@ def make_adversarial_predict(
             xa, _ = pgd(
                 fwd, k_attack, x, y, attack_cfg.eps, attack_cfg.pgd_lr,
                 attack_cfg.pgd_niter, attack_cfg.pgd_random_start,
-                attack_cfg.mean, attack_cfg.std,
+                attack_cfg.mean, attack_cfg.std, fwd_key=k_fwd,
             )
         elif attack_cfg.mode == "clean":
             xa = x
@@ -150,8 +152,8 @@ def adversarial_accuracy(
     return _drain_counts(counts, total)
 
 
-def _ensemble_members(model, members):
-    """members: list of (params, state, solvers, solver_options)."""
+def _make_member_fwd(model):
+    """Forward-closure factory for one ensemble member."""
 
     def make_fwd(params, state, solvers, options, k):
         def fwd(xi):
@@ -220,24 +222,18 @@ def _vmapped_member_probs(model, homo, mesh, member_axis):
     return probs_fn
 
 
-def accuracy_ensemble(
+def make_ensemble_probs(
     model: Model,
     members: Sequence[Tuple],
-    data,
-    key: Optional[Array] = None,
     *,
     mesh=None,
     member_axis: str = "ensemble",
-) -> float:
-    """Softmax-prob-averaged ensemble accuracy (Evaluate nb cell 25).
-
-    ``members``: list of (params, state, solvers, solver_options).
-
-    ``mesh``: shard the member axis over this mesh axis instead of looping
-    members sequentially — each member's full ODE solve runs on its own
-    device slice (ensemble parallelism reaching the eval harness).
-    Requires the ensemble-by-noising shape: shared params/state/options,
-    one solver per member differing only in (u, v)."""
+):
+    """Build the jitted prob-averaging closure ``probs_fn(x, keys)`` ONCE;
+    pass it to ``accuracy_ensemble(..., predict=...)`` to reuse the
+    compiled multi-member ODE-solve graph across epochs (same rationale
+    as :func:`make_adversarial_predict` — a fresh closure per call
+    retraces every time, 5-10+ min per compile on the remote chip)."""
     if mesh is not None:
         homo = _homogeneous_solver_members(members)
         vprobs = jax.jit(_vmapped_member_probs(model, homo, mesh,
@@ -258,18 +254,50 @@ def accuracy_ensemble(
             else:
                 keys = jnp.stack(keys)
             return jnp.mean(vprobs(x, keys), axis=0)
-    else:
-        make_fwd = _ensemble_members(model, members)
 
-        @jax.jit
-        def probs_fn(x, keys):
-            probs = None
-            for (params, state, solvers, options), k in zip(members, keys):
-                p = jax.nn.softmax(
-                    make_fwd(params, state, solvers, options, k)(x), axis=-1
-                )
-                probs = p if probs is None else probs + p
-            return probs / len(members)
+        return probs_fn
+
+    make_fwd = _make_member_fwd(model)
+
+    @jax.jit
+    def probs_fn(x, keys):
+        probs = None
+        for (params, state, solvers, options), k in zip(members, keys):
+            p = jax.nn.softmax(
+                make_fwd(params, state, solvers, options, k)(x), axis=-1
+            )
+            probs = p if probs is None else probs + p
+        return probs / len(members)
+
+    return probs_fn
+
+
+def accuracy_ensemble(
+    model: Model,
+    members: Sequence[Tuple],
+    data,
+    key: Optional[Array] = None,
+    *,
+    mesh=None,
+    member_axis: str = "ensemble",
+    predict=None,
+) -> float:
+    """Softmax-prob-averaged ensemble accuracy (Evaluate nb cell 25).
+
+    ``members``: list of (params, state, solvers, solver_options).
+
+    ``mesh``: shard the member axis over this mesh axis instead of looping
+    members sequentially — each member's full ODE solve runs on its own
+    device slice (ensemble parallelism reaching the eval harness).
+    Requires the ensemble-by-noising shape: shared params/state/options,
+    one solver per member differing only in (u, v).
+
+    ``predict``: a closure from :func:`make_ensemble_probs`, reused across
+    calls so a per-epoch ensemble eval doesn't retrace/recompile the full
+    multi-member ODE-solve graph every epoch."""
+    probs_fn = predict if predict is not None else make_ensemble_probs(
+        model, members, mesh=mesh, member_axis=member_axis
+    )
 
     counts = []
     total = 0
@@ -285,22 +313,17 @@ def accuracy_ensemble(
     return _drain_counts(counts, total)
 
 
-def adversarial_accuracy_ensemble(
+def make_ensemble_attacked_probs(
     model: Model,
     members: Sequence[Tuple],
-    data,
     attack_cfg: AttackConfig,
-    key: Array,
     *,
     mesh=None,
     member_axis: str = "ensemble",
-) -> float:
-    """FGSM2Ensemble attack + prob-averaged eval (nb cell 25; fgsm.py:109-155).
-
-    ``mesh``: member-axis-sharded variant (see :func:`accuracy_ensemble`);
-    the joint ensemble attack differentiates through the vmapped
-    prob-average, mathematically identical to fgsm2ensemble's
-    log-mean-prob NLL."""
+):
+    """Build the jitted joint-attack + prob-average closure
+    ``attacked_probs(x, y, keys)`` once (reuse rationale as
+    :func:`make_ensemble_probs`)."""
     if mesh is not None:
         homo = _homogeneous_solver_members(members)
         vprobs = _vmapped_member_probs(model, homo, mesh, member_axis)
@@ -318,17 +341,9 @@ def adversarial_accuracy_ensemble(
             )
             return jnp.mean(vprobs(xa, keys), axis=0)
 
-        counts = []
-        total = 0
-        for x, y in _iterate(data):
-            key, *subs = jax.random.split(key, len(members) + 1)
-            probs = attacked_probs(jnp.asarray(x), jnp.asarray(y),
-                                   list(subs))
-            counts.append(jnp.sum(jnp.argmax(probs, -1) == jnp.asarray(y)))
-            total += int(np.asarray(y).shape[0])
-        return _drain_counts(counts, total)
+        return attacked_probs
 
-    make_fwd = _ensemble_members(model, members)
+    make_fwd = _make_member_fwd(model)
 
     @jax.jit
     def attacked_probs(x, y, keys):
@@ -343,6 +358,35 @@ def adversarial_accuracy_ensemble(
             p = jax.nn.softmax(fwd(xa), axis=-1)
             probs = p if probs is None else probs + p
         return probs / len(fwds)
+
+    return attacked_probs
+
+
+def adversarial_accuracy_ensemble(
+    model: Model,
+    members: Sequence[Tuple],
+    data,
+    attack_cfg: AttackConfig,
+    key: Array,
+    *,
+    mesh=None,
+    member_axis: str = "ensemble",
+    predict=None,
+) -> float:
+    """FGSM2Ensemble attack + prob-averaged eval (nb cell 25; fgsm.py:109-155).
+
+    ``mesh``: member-axis-sharded variant (see :func:`accuracy_ensemble`);
+    the joint ensemble attack differentiates through the vmapped
+    prob-average, mathematically identical to fgsm2ensemble's
+    log-mean-prob NLL.
+
+    ``predict``: a closure from :func:`make_ensemble_attacked_probs`,
+    reused across calls to avoid per-epoch recompiles."""
+    attacked_probs = (
+        predict if predict is not None else make_ensemble_attacked_probs(
+            model, members, attack_cfg, mesh=mesh, member_axis=member_axis
+        )
+    )
 
     counts = []
     total = 0

@@ -47,6 +47,8 @@ def nfe_per_solve(solver: ParametricSolver, t0=0.0, t1=1.0) -> int:
         import math
 
         n = int(math.ceil((t1 - t0) / solver.step_size + 1)) - 1
+    elif getattr(solver, "custom_grid", None) is not None:
+        n = len(solver.custom_grid) - 1
     else:
         n = 1
     return stages * n

@@ -107,11 +107,18 @@ def make_solver_train_step(
     """Like ``make_train_step`` but with (u, v) as trainable leaves.
 
     ``solver_tx`` is the u/v optimizer (reference ``lr_uv`` param group).
-    ``clip_solver_params`` re-clips u, v into [eps, 1] after each update so
-    the raw parameters track the validity region the tableau constructors
-    clamp to (keeps gradients alive instead of saturating the clamp).
+    ``clip_solver_params`` re-clips u, v after each update into a range
+    strictly INSIDE each family's tableau validity clamp (rk2/rk3 clamp
+    to [eps, 1], rk4 to [eps, 1-eps] — ops/tableau.py), so the raw
+    parameters track the region where d(tableau)/du is nonzero. Clipping
+    rk4's u to 1.0 would park it exactly on the tableau clamp boundary
+    with zero gradient forever.
     """
     model = _cast_model(model, compute_dtype)
+    # per-solver post-update clip bounds: stay inside the validity clamp
+    clip_hi = tuple(
+        1.0 - 1e-3 if s.method == "rk4" else 1.0 for s in solvers
+    )
 
     def step(ts: SolverTrainState, x: Array, y: Array, key: Array):
         k_attack, k_afwd, k_fwd = jax.random.split(key, 3)
@@ -148,8 +155,11 @@ def make_solver_train_step(
         )
         new_solver_params = optax.apply_updates(ts.solver_params, upd_s)
         if clip_solver_params:
-            new_solver_params = jax.tree_util.tree_map(
-                lambda p: jnp.clip(p, 1e-3, 1.0), new_solver_params
+            new_solver_params = type(new_solver_params)(
+                jax.tree_util.tree_map(
+                    lambda p: jnp.clip(p, 1e-3, hi), sp
+                )
+                for sp, hi in zip(new_solver_params, clip_hi)
             )
 
         acc = jnp.mean((jnp.argmax(logits, axis=-1) == y).astype(jnp.float32))

@@ -143,9 +143,10 @@ def _run_attack(model, params, state, solvers, options, attack_cfg,
     """Build the adversarial batch.  The attack forward runs in eval mode
     (reference FGSM/PGD set model.eval(), fgsm.py:23-25)."""
 
-    def fwd(xi):
+    def fwd(xi, k=None):
         logits, _, _ = model.apply(
-            params, state, xi, solvers, options, key=k_fwd, train=False,
+            params, state, xi, solvers, options,
+            key=k_fwd if k is None else k, train=False,
             remat=remat, unroll=unroll,
             integration_method=integration_method,
         )
@@ -163,10 +164,12 @@ def _run_attack(model, params, state, solvers, options, attack_cfg,
             attack_cfg.mean, attack_cfg.std,
         )[0]
     if m == "at":
+        # fwd_key: each PGD iteration resamples the regime draw like the
+        # reference's per-forward np.random (noop for standalone)
         return pgd(
             fwd, k_attack, x, y, attack_cfg.eps, attack_cfg.pgd_lr,
             attack_cfg.pgd_niter, attack_cfg.pgd_random_start,
-            attack_cfg.mean, attack_cfg.std,
+            attack_cfg.mean, attack_cfg.std, fwd_key=k_fwd,
         )[0]
     raise ValueError("Attack type not understood.")
 

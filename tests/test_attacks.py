@@ -222,3 +222,35 @@ def test_fgsm_output_is_detached():
         + cross_entropy(flat(jax.lax.stop_gradient(xb)) @ w, y)
     )(w)
     np.testing.assert_allclose(np.asarray(g), np.asarray(ref), rtol=1e-5)
+
+
+def test_pgd_fwd_key_varies_per_iteration():
+    """With fwd_key given, every PGD iteration calls forward with its own
+    fold_in key (the reference resamples the regime draw via np.random on
+    every model forward, mnist layers.py:27,33); a key-ignoring forward
+    is bit-identical to the key-less path."""
+    x = jnp.linspace(-0.2, 0.9, 12).reshape(3, 2, 2, 1)  # NHWC
+    y = jnp.asarray([0, 1, 2])
+    w = jnp.asarray(np.random.RandomState(0).randn(4, 3), jnp.float32)
+
+    def fwd_plain(xi):
+        return xi.reshape(xi.shape[0], -1) @ w
+
+    def fwd_ignore_key(xi, k=None):
+        return fwd_plain(xi)
+
+    def fwd_keyed(xi, k=None):
+        # key-dependent CLASS PERMUTATION stands in for switch-mode solver
+        # draws (a mere logit scale wouldn't survive PGD's sign())
+        shift = jax.random.randint(k, (), 0, 3) if k is not None else 0
+        return jnp.roll(fwd_plain(xi), shift, axis=-1)
+
+    key = jax.random.key(3)
+    a = pgd(fwd_plain, key, x, y, 0.1, 0.02, 5)[0]
+    b = pgd(fwd_ignore_key, key, x, y, 0.1, 0.02, 5,
+            fwd_key=jax.random.key(9))[0]
+    assert jnp.array_equal(a, b)  # key plumbing is a no-op for key-ignorers
+
+    c = pgd(fwd_keyed, key, x, y, 0.1, 0.02, 5, fwd_key=jax.random.key(9))[0]
+    d = pgd(fwd_keyed, key, x, y, 0.1, 0.02, 5, fwd_key=jax.random.key(10))[0]
+    assert not jnp.array_equal(c, d)  # fwd_key reaches the forwards

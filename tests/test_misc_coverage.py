@@ -210,3 +210,97 @@ def test_profiler_trace_smoke(tmp_path):
     # a trace directory with at least one file must exist
     found = [p for p in (tmp_path).rglob("*") if p.is_file()]
     assert found
+
+
+def test_dsl_minus_one_u0_passes_through_like_reference():
+    """create_solver maps -1 to None ONLY for n_steps/step_size (reference
+    utils.py:23-27); u0/v0 = -1 pass through verbatim and the tableau
+    validity clamp turns them into eps at build (rk2 clamp, rk2:52-62)."""
+    from neural_ode_metasolver_tpu.ops import parse_solver_dsl
+    from neural_ode_metasolver_tpu.ops.tableau import validity_eps
+
+    (s,) = parse_solver_dsl("rk2,u,8,-1,-1,-1")
+    assert float(s.u) == -1.0  # raw param keeps the sentinel value
+    eps = validity_eps(jnp.float32)
+    assert abs(float(s.tableau().c[1]) - eps) < 1e-12  # c2 == clamp(-1)
+
+    (s3,) = parse_solver_dsl("rk3,uv,8,-1,-1,0.6")
+    assert float(s3.u) == -1.0 and abs(float(s3.v) - 0.6) < 1e-7
+
+
+def test_create_solver_none_defaults_for_python_api():
+    from neural_ode_metasolver_tpu.ops import create_solver
+
+    assert float(create_solver("rk2", "u", n_steps=8).u) == 0.5
+    s = create_solver("rk3", "uv", n_steps=8)
+    assert abs(float(s.u) - 1 / 3) < 1e-6 and abs(float(s.v) - 2 / 3) < 1e-6
+
+
+def test_nfe_counts_custom_grid():
+    from neural_ode_metasolver_tpu.ops import create_solver
+    from neural_ode_metasolver_tpu.training import nfe_per_solve
+
+    s = create_solver("rk2", "u", n_steps=4, u0=0.5)
+    s = s.replace(n_steps=None, custom_grid=(0.0, 0.1, 0.5, 1.0))
+    assert nfe_per_solve(s) == 2 * 3
+
+
+def test_fused_gn_validates_under_autodiff():
+    """The divisibility check must fire for DIFFERENTIATED calls too: the
+    custom_vjp primal body is bypassed under jax.grad, so a check living
+    only there would let the padded kernel silently mis-normalize."""
+    from neural_ode_metasolver_tpu.ops.pallas_kernels import (
+        fused_group_norm_act,
+    )
+
+    x = jnp.ones((2, 4, 4, 10), jnp.float32)
+    scale = jnp.ones((10,))
+    bias = jnp.zeros((10,))
+
+    with pytest.raises(ValueError, match="divisible"):
+        fused_group_norm_act(x, scale, bias, 4, interpret=True)
+
+    def loss(xi):
+        return fused_group_norm_act(xi, scale, bias, 4,
+                                    interpret=True).sum()
+
+    with pytest.raises(ValueError, match="divisible"):
+        jax.grad(loss)(x)
+
+
+def test_ensemble_predict_reuse_matches_fresh():
+    """make_ensemble_probs / make_ensemble_attacked_probs closures can be
+    built once and reused (predict=...) with identical results."""
+    from neural_ode_metasolver_tpu.models.api import build_model
+    from neural_ode_metasolver_tpu.ops import SolverOptions, create_solver
+    from neural_ode_metasolver_tpu.training import (
+        AttackConfig,
+        accuracy_ensemble,
+        adversarial_accuracy_ensemble,
+        make_ensemble_attacked_probs,
+        make_ensemble_probs,
+    )
+
+    model = build_model("mnist", dim=8)
+    params, state = model.init(jax.random.key(0))
+    members = [
+        (params, state, [create_solver("rk2", "u", n_steps=2, u0=u)],
+         SolverOptions())
+        for u in (0.5, 1.0)
+    ]
+    xs = np.random.RandomState(0).rand(8, 28, 28, 1).astype(np.float32)
+    ys = np.arange(8) % 10
+    data = lambda: [(xs, ys)]
+
+    a1 = accuracy_ensemble(model, members, data())
+    probs = make_ensemble_probs(model, members)
+    a2 = accuracy_ensemble(model, members, data(), predict=probs)
+    assert a1 == a2
+
+    cfg = AttackConfig(mode="fgsm", eps=0.05)
+    b1 = adversarial_accuracy_ensemble(model, members, data(), cfg,
+                                       jax.random.key(1))
+    att = make_ensemble_attacked_probs(model, members, cfg)
+    b2 = adversarial_accuracy_ensemble(model, members, data(), cfg,
+                                       jax.random.key(1), predict=att)
+    assert b1 == b2

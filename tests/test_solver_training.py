@@ -139,3 +139,28 @@ def test_learning_u_moves_toward_classical_optimum():
         key, sub = jax.random.split(key)
         u, opt_state, _ = step(u, opt_state, sub)
     assert 0.42 < float(u) < 0.9, float(u)
+
+
+def test_rk4_trainable_u_does_not_freeze_at_one():
+    """clip_solver_params must keep rk4's u strictly inside the tableau
+    validity clamp [eps, 1-eps] (ops/tableau.py): parking u at exactly 1.0
+    would zero d(tableau)/du and freeze the parameter permanently."""
+    import optax
+
+    model = build_model("mnist", dim=8)
+    solver = create_solver("rk4", "u2", n_steps=2, u0=0.97).unfreeze()
+    tx = make_optimizer("sgd", 0.0)  # freeze the net; only u moves
+    solver_tx = optax.sgd(5.0)  # huge lr slams u into the boundary
+    step = make_solver_train_step(model, tx, solver_tx, [solver],
+                                  SolverOptions(), donate=False)
+    ts = create_solver_train_state(model, tx, solver_tx, [solver],
+                                   jax.random.key(0))
+    x = jnp.asarray(np.random.RandomState(1).rand(4, 28, 28, 1), jnp.float32)
+    y = jnp.asarray([0, 1, 2, 3])
+    us = []
+    for i in range(3):
+        ts, _ = step(ts, x, y, jax.random.key(i))
+        us.append(float(ts.solver_params[0]["u"]))
+    assert all(u <= 1.0 - 1e-3 + 1e-9 for u in us), us
+    # the gradient stays alive: u keeps moving across steps
+    assert len(set(us)) > 1, us
