@@ -35,6 +35,7 @@ def stack_solver_params(solvers: Sequence[ParametricSolver]):
             or s.parameterization != ref.parameterization
             or s.n_steps != ref.n_steps
             or s.step_size != ref.step_size
+            or s.custom_grid != ref.custom_grid
         ):
             raise ValueError(
                 "ensemble_integrate needs a homogeneous ensemble; use the "
@@ -80,10 +81,19 @@ def ensemble_integrate(
         weights = [1.0 / n] * n
     w = jnp.asarray(weights, y0.dtype)
 
+    # custom_grid overrides n_steps/step_size, matching
+    # ParametricSolver.time_grid's precedence — ignoring it here would
+    # silently integrate members on the wrong grid
+    grid = (jnp.asarray(ref.custom_grid, jnp.float32)
+            if ref.custom_grid is not None else None)
+
     def one_member(u_i, v_i):
         tab = _tableau_from(ref.method, ref.parameterization, u_i, v_i)
         if ref.frozen:
             tab = jax.tree_util.tree_map(jax.lax.stop_gradient, tab)
+        if grid is not None:
+            return odeint_final(tab, rhs, y0, t0, t1, time_grid=grid,
+                                remat=remat, unroll=unroll)
         return odeint_final(
             tab, rhs, y0, t0, t1,
             n_steps=ref.n_steps, step_size=ref.step_size,

@@ -189,7 +189,10 @@ def main(argv=None):
                     )
                 logger.info(f"{base} | {mode} eps={eps:.4f} acc={acc:.4f}")
                 rows.append({
-                    "checkpoint": base, "mode": mode, "eps": eps,
+                    "checkpoint": base, "mode": mode,
+                    # clean rows carry no perturbation: recording the
+                    # first sweep eps would mislabel them downstream
+                    "eps": 0.0 if mode == "clean" else eps,
                     "accuracy": acc,
                 })
                 if mode == "clean":
@@ -199,10 +202,18 @@ def main(argv=None):
                      tuple(sorted(
                          (k, str(v)) for k, v in margs.items()
                          if k in ("network", "in_planes", "in_channels",
-                                  "downsampling_method",
+                                  "downsampling_method", "num_blocks",
+                                  "is_odenet",
                                   "normalization_resblock",
                                   "normalization_odeblock",
-                                  "normalization_bn1", "activation"))))
+                                  "normalization_bn1",
+                                  "param_normalization_resblock",
+                                  "param_normalization_odeblock",
+                                  "param_normalization_bn1",
+                                  "activation",
+                                  "activation_resblock",
+                                  "activation_odeblock",
+                                  "activation_bn1"))))
         members_info.append((model_key, model, ts, solvers, opts,
                              ds, mean, std))
 

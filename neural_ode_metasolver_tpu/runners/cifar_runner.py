@@ -218,8 +218,12 @@ def main(argv=None):
     if args.init:
         from ..models.nn import apply_init_scheme
 
+        # bind the ORIGINAL init: closing over the rebound `model` would
+        # make reinit call itself (infinite recursion at create_train_state)
+        base_init = model.init
+
         def reinit(key):
-            p0, s0 = model.init(key)
+            p0, s0 = base_init(key)
             return apply_init_scheme(jax.random.fold_in(key, 1), p0,
                                      args.init), s0
 

@@ -275,14 +275,17 @@ def _fit_with_trainable_solvers(model, solvers, tx, args, logger,
 
     mlog = MetricsLogger(args.save_dir, config=config) if args.save_dir \
         else None
+    import jax.numpy as jnp
+
     for epoch in range(args.nepochs):
         losses = []
         for x, y in train_data(epoch):
-            import jax.numpy as jnp
-
             key, sub = jax.random.split(key)
             ts, m = step(ts, jnp.asarray(x), jnp.asarray(y), sub)
-            losses.append(float(m["loss"]))
+            # keep the device scalar: a float() per step would block
+            # dispatch pipelining (same discipline as common.fit)
+            losses.append(m["loss"])
+        losses = [float(v) for v in jax.device_get(losses)]
         cur = solvers_from_state(solvers, ts.solver_params)
         key, k_val = jax.random.split(key)
         # switch/ensemble eval regimes need the key; harmless otherwise

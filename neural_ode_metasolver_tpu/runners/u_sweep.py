@@ -131,7 +131,11 @@ def main(argv=None):
 
     rows = []
     for u0 in args.u_grid:
-        solvers = [create_solver("rk2", "u", n_steps=args.n_steps, u0=u0)]
+        # vary ONLY the traced u leaf: u0 is a static pytree-treedef field
+        # (ops/solver.py), so create_solver(u0=...) per grid point would
+        # change the treedef and retrace/recompile the step for every u —
+        # exactly the cost the dynamic_solvers design exists to avoid
+        solvers = [ref_solver.replace(u=jnp.asarray(u0, jnp.float32))]
         for seed in args.seeds:
             key = jax.random.key(seed)
             key, k_init = jax.random.split(key)

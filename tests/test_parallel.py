@@ -645,3 +645,30 @@ def test_pp_fallbacks_are_sequential():
     # ss-loss path: runs (sequentially) and returns a finite scalar
     l2, _, aux = pp.apply(params, state, x, solvers, opts, ss_loss=True)
     assert np.isfinite(float(aux["ss_loss"]))
+
+
+def test_ensemble_integrate_custom_grid():
+    """custom_grid overrides n_steps/step_size in ensemble integration
+    exactly as in ParametricSolver.time_grid; heterogeneous grids are
+    rejected by the homogeneity check."""
+    grid = (0.0, 0.25, 1.0)
+    solvers = [
+        create_solver("rk2", "u", n_steps=4, u0=u).replace(
+            n_steps=None, custom_grid=grid)
+        for u in (0.5, 1.0)
+    ]
+    y0 = jnp.asarray(np.random.RandomState(0).rand(3, 4), jnp.float32)
+
+    def rhs(t, y):
+        return -y
+
+    out = ensemble_integrate(solvers, rhs, y0, [0.6, 0.4])
+    expected = sum(
+        w * s.integrate_final(rhs, y0)
+        for w, s in zip([0.6, 0.4], solvers)
+    )
+    assert jnp.allclose(out, expected, atol=1e-6)
+
+    mixed = [solvers[0], solvers[1].replace(custom_grid=(0.0, 1.0))]
+    with pytest.raises(ValueError, match="homogeneous"):
+        ensemble_integrate(mixed, rhs, y0)

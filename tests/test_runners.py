@@ -569,3 +569,44 @@ def test_train_solver_params_rejects_adjoint():
             "--synthetic_test_size", "16",
             "--save_dir", "/tmp/should_not_exist_exp",
         ])
+
+
+def test_cifar_runner_init_orthogonal(tmp_path):
+    """--init rebinds model.init; the reinit closure must capture the
+    ORIGINAL init (closing over the rebound name recursed infinitely)."""
+    save = str(tmp_path / "exp")
+    cifar_runner.main([
+        "--network", "premetanode6",
+        "--in_planes", "8",
+        "--solvers", "rk2,u,2,-1,0.5,-1",
+        "--init", "orthogonal",
+        "--nepochs", "1",
+        "--batch_size", "8",
+        "--test_batch_size", "8",
+        "--synthetic_train_size", "32",
+        "--synthetic_test_size", "16",
+        "--val_perc", "0.25",
+        "--save_dir", save,
+    ])
+    assert glob.glob(os.path.join(save, "last", "step_*"))
+
+
+def test_u_sweep_grid_shares_one_treedef():
+    """The sweep varies only the traced u leaf: per-grid-point
+    create_solver(u0=...) would change the static u0 treedef field and
+    retrace/recompile the jitted step for every u."""
+    import jax
+    import jax.numpy as jnp
+
+    from neural_ode_metasolver_tpu.ops import create_solver
+
+    ref = create_solver("rk2", "u", n_steps=2, u0=0.5)
+    a = [ref.replace(u=jnp.asarray(0.3, jnp.float32))]
+    b = [ref.replace(u=jnp.asarray(0.9, jnp.float32))]
+    ta = jax.tree_util.tree_structure(a)
+    tb = jax.tree_util.tree_structure(b)
+    assert ta == tb
+    # and the naive construction really does differ (the failure mode)
+    tc = jax.tree_util.tree_structure(
+        [create_solver("rk2", "u", n_steps=2, u0=0.3)])
+    assert tc != ta
