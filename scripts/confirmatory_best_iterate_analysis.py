@@ -1,0 +1,88 @@
+"""Pre-registered readout for the BEST-ITERATE smoothing confirmation
+(results/RESULTS.md "Pre-registered best-iterate confirmation").
+
+Protocol (committed before any confirmatory seed ran):
+  - confirmatory sample = seeds 300..347 only (n=48 CRN pairs; any
+    calibration/cross-check seeds outside the window are EXCLUDED)
+  - primary endpoint  = paired (smoothing - standalone) robust_acc at the
+    best-clean-accuracy iterate (the reference's model_best semantics),
+    one-sided test (H1: > 0) at alpha = 0.05
+  - secondary endpoint = paired clean_acc at the best iterate, same test
+  - final-iterate columns are recorded for continuity with the n=192
+    table but carry NO inferential weight here
+  - single analysis at the final n (48, or the largest completed n if the
+    round ends early — reported WITH that deviation flagged)
+
+  python scripts/confirmatory_best_iterate_analysis.py results/*.csv
+"""
+import argparse
+import csv
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from confirmatory_smoothing_analysis import one_sided_t05  # noqa: E402
+
+CONF_SEED_LO, CONF_SEED_HI = 300, 347
+
+
+def load(paths):
+    by = {}
+    for path in paths:
+        with open(path, newline="") as f:
+            for r in csv.DictReader(f):
+                seed = int(r["seed"])
+                if not CONF_SEED_LO <= seed <= CONF_SEED_HI:
+                    continue
+                k = (r["regime"], seed)
+                vals = tuple(float(r[c]) for c in
+                             ("clean_acc", "robust_acc", "final_clean",
+                              "final_robust"))
+                if k in by and by[k] != vals:
+                    raise SystemExit(
+                        f"conflicting duplicate for {k}: {by[k]} vs {vals}")
+                by[k] = vals
+    return by
+
+
+def analyze(by, expected_n=48):
+    paired = sorted(s for (_, s) in by
+                    if ("smoothing", s) in by and ("standalone", s) in by)
+    paired = sorted(set(paired))
+    if not paired:
+        print("no pairs")
+        return
+    print(f"confirmatory seeds paired: n={len(paired)} "
+          f"(range {paired[0]}-{paired[-1]})")
+    if len(paired) != expected_n:
+        print(f"*** DEVIATION: pre-registered n={expected_n}, analyzed "
+              f"n={len(paired)} ***")
+    for label, idx in (("best-iterate robust_acc (PRIMARY)", 1),
+                       ("best-iterate clean_acc (secondary)", 0),
+                       ("final robust_acc (descriptive only)", 3),
+                       ("final clean_acc (descriptive only)", 2)):
+        diffs = [by[("smoothing", s)][idx] - by[("standalone", s)][idx]
+                 for s in paired]
+        n = len(diffs)
+        mean = sum(diffs) / n
+        sd = math.sqrt(sum((d - mean) ** 2 for d in diffs) / (n - 1))
+        se = sd / math.sqrt(n)
+        lower = mean - one_sided_t05(n - 1) * se
+        wins = sum(d > 0 for d in diffs)
+        verdict = "SIGNIFICANT (one-sided)" if lower > 0 else "null"
+        print(f"{label}: mean {mean * 100:+.3f} pt, sd {sd * 100:.3f} pt, "
+              f"one-sided 95% lower bound {lower * 100:+.3f} pt, "
+              f"{wins}/{n} favor smoothing -> {verdict}")
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("inputs", nargs="+")
+    p.add_argument("--expected_n", type=int, default=48)
+    args = p.parse_args()
+    analyze(load(args.inputs), args.expected_n)
+
+
+if __name__ == "__main__":
+    main()
