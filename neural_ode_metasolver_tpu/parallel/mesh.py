@@ -200,6 +200,7 @@ def make_parallel_train_step(
     model_axis: Optional[str] = None,
     spatial_axis: Optional[str] = None,
     donate: bool = False,
+    compiler_options: Optional[dict] = None,
 ):
     """Wrap a ``step(ts, x, y, key) -> (ts, metrics)`` into a mesh-sharded jit.
 
@@ -216,6 +217,10 @@ def make_parallel_train_step(
     train-state HBM footprint — important in exactly the too-big-to-fit
     regime sharding targets); leave False when the SAME state object is
     passed to multiple step calls (as the dryrun does).
+
+    ``compiler_options`` forwards backend compiler flag overrides to the
+    sharded jit (see ``make_train_step``) — the knob composes with mesh
+    shardings unchanged.
     """
     if model_axis is not None:
         param_sh = shard_params_tp(ts_template.params, mesh, model_axis)
@@ -249,4 +254,5 @@ def make_parallel_train_step(
         in_shardings=(ts_sh, x_sh, y_sh, key_sh),
         out_shardings=(ts_sh, metrics_sh),
         donate_argnums=(0,) if donate else (),
+        compiler_options=compiler_options,
     )

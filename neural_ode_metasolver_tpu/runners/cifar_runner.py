@@ -172,6 +172,13 @@ def build_parser():
                         "counts, e.g. '1,2;1,2' for two stages of one res "
                         "+ two ODE blocks — custom deep ODE stacks (the "
                         "shape pp pays on)")
+    p.add_argument("--compiler_option", action="append", default=None,
+                   metavar="NAME=VALUE",
+                   help="backend compiler flag override for the jitted "
+                        "step (repeatable), e.g. "
+                        "xla_tpu_scoped_vmem_limit_kib=65536; reaches the "
+                        "TPU compiler even where XLA_FLAGS cannot "
+                        "(SCALING.md)")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a TensorBoard device trace of "
                         "steady-state steps 1-3 (epoch 0) into this dir")

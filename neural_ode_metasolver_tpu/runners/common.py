@@ -153,6 +153,32 @@ def parse_mesh_spec(spec: Optional[str]) -> Optional[dict]:
     return axes
 
 
+def parse_compiler_options(pairs: Sequence[str]) -> Optional[dict]:
+    """Parse repeated ``--compiler_option NAME=VALUE`` flags into the dict
+    :func:`jax.jit` takes as ``compiler_options`` — backend compiler flag
+    overrides (e.g. ``xla_tpu_scoped_vmem_limit_kib=65536``).  These reach
+    the TPU compiler even through a remote-compile client where the
+    ``XLA_FLAGS`` env var cannot (SCALING.md); unknown names fail the
+    compile loudly rather than being ignored."""
+    if not pairs:
+        return None
+    opts = {}
+    for pair in pairs:
+        name, sep, value = pair.partition("=")
+        name, value = name.strip(), value.strip()
+        if not name or not sep or not value:
+            raise ValueError(
+                f"bad --compiler_option {pair!r}; expected NAME=VALUE")
+        # normalize booleans: the local PJRT option parser insists on
+        # True/False while the remote tpu helper takes true/false — a
+        # typed bool satisfies both
+        if value.lower() in ("true", "false"):
+            opts[name] = value.lower() == "true"
+        else:
+            opts[name] = value
+    return opts
+
+
 def build_solver_options(args) -> SolverOptions:
     return SolverOptions(
         solver_mode=getattr(args, "solver_mode", "standalone"),
@@ -354,6 +380,9 @@ def fit(
                     "e.g. premetanode18/34)"
                 )
             model = make_cifar_model(model.cfg, pipeline=pcfg)
+    copts = parse_compiler_options(
+        getattr(args, "compiler_option", None) or []
+    )
     step = make_train_step(
         model, tx, solvers, solver_options, attack_cfg, noise_cfg, loss_cfg,
         compute_dtype=compute_dtype,
@@ -363,6 +392,7 @@ def fit(
         # the mesh path re-jits with explicit shardings below
         jit_compile=mesh_spec is None,
         donate=mesh_spec is None,
+        compiler_options=copts if mesh_spec is None else None,
     )
     batch_sh = None
     if mesh_spec:
@@ -376,6 +406,7 @@ def fit(
             model_axis="model" if "model" in mesh_spec else None,
             spatial_axis="sp" if "sp" in mesh_spec else None,
             donate=True,
+            compiler_options=copts,
         )
         # prefetch placement must match the step's in_shardings exactly
         # (jit rejects committed args with a different sharding); under

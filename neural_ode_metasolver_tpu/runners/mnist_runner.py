@@ -123,6 +123,13 @@ def build_parser():
                    help="multi-chip training: axis spec like 'data=8' or "
                         "'data=4,model=2' (tp) or 'data=2,sp=2' (spatial); "
                         "shards the jitted step over a jax.sharding.Mesh")
+    p.add_argument("--compiler_option", action="append", default=None,
+                   metavar="NAME=VALUE",
+                   help="backend compiler flag override for the jitted "
+                        "step (repeatable), e.g. "
+                        "xla_tpu_scoped_vmem_limit_kib=65536; reaches the "
+                        "TPU compiler even where XLA_FLAGS cannot "
+                        "(SCALING.md)")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a TensorBoard device trace of "
                         "steady-state steps 1-3 (epoch 0) into this dir")

@@ -190,10 +190,19 @@ def make_train_step(
     compute_dtype=None,
     skip_nonfinite: bool = False,
     integration_method: str = "backprop",
+    compiler_options: dict | None = None,
 ):
     """Returns ``step(ts, x, y, key) -> (ts, metrics)`` (jitted unless
     ``jit_compile=False`` — e.g. when the caller re-jits with mesh shardings
     via ``parallel.make_parallel_train_step``).
+
+    ``compiler_options`` are backend compiler flag overrides passed to
+    :func:`jax.jit` (``CompileOptions.env_option_overrides``) — e.g.
+    ``{"xla_tpu_scoped_vmem_limit_kib": "65536"}``.  They reach the
+    remote TPU compiler even where the ``XLA_FLAGS`` env var cannot
+    (SCALING.md "TPU compiler flags ARE reachable"); unknown flags fail
+    the compile loudly.  The reference has no analog (apex/cuDNN expose
+    no per-step compiler control).
 
     ``compute_dtype=jnp.bfloat16`` enables mixed precision: activations (and
     hence MXU matmuls, which the layer library casts kernels to match) run in
@@ -314,8 +323,14 @@ def make_train_step(
         return ts, metrics
 
     if not jit_compile:
+        if compiler_options:
+            raise ValueError(
+                "compiler_options requires jit_compile=True (pass them to "
+                "the outer jit / make_parallel_train_step instead)"
+            )
         return step
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    return jax.jit(step, donate_argnums=(0,) if donate else (),
+                   compiler_options=compiler_options)
 
 
 def make_eval_step(

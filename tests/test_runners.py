@@ -610,3 +610,90 @@ def test_u_sweep_grid_shares_one_treedef():
     tc = jax.tree_util.tree_structure(
         [create_solver("rk2", "u", n_steps=2, u0=0.3)])
     assert tc != ta
+
+
+def test_parse_compiler_options():
+    from neural_ode_metasolver_tpu.runners.common import parse_compiler_options
+
+    assert parse_compiler_options([]) is None
+    opts = parse_compiler_options([
+        "xla_tpu_scoped_vmem_limit_kib=65536",
+        "xla_tpu_enable_latency_hiding_scheduler=true",
+        "xla_embed_ir_in_executable=False",
+    ])
+    # booleans normalized to typed bools (local PJRT insists on
+    # True/False, the remote tpu helper on true/false; bools satisfy both)
+    assert opts == {
+        "xla_tpu_scoped_vmem_limit_kib": "65536",
+        "xla_tpu_enable_latency_hiding_scheduler": True,
+        "xla_embed_ir_in_executable": False,
+    }
+    for bad in ("justaname", "name=", "=value"):
+        with pytest.raises(ValueError):
+            parse_compiler_options([bad])
+
+
+def test_mnist_runner_compiler_option(tmp_path):
+    """--compiler_option flows into the jitted step's compile: a benign
+    generic flag trains end-to-end; an unknown flag fails the compile
+    loudly (never silently ignored)."""
+    save = str(tmp_path / "copt_exp")
+    common_args = [
+        "--solvers", "rk2,u,2,-1,0.5,-1",
+        "--nepochs", "1",
+        "--batch_size", "16",
+        "--test_batch_size", "16",
+        "--synthetic_train_size", "32",
+        "--synthetic_test_size", "16",
+    ]
+    mnist_runner.main(common_args + [
+        "--save_dir", save,
+        "--compiler_option", "xla_embed_ir_in_executable=false",
+    ])
+    assert glob.glob(os.path.join(save, "last", "step_*"))
+
+    import jax
+
+    with pytest.raises(jax.errors.JaxRuntimeError):
+        mnist_runner.main(common_args + [
+            "--save_dir", str(tmp_path / "copt_bad"),
+            "--compiler_option", "xla_this_flag_does_not_exist=1",
+        ])
+
+
+def test_mnist_runner_compiler_option_with_mesh(tmp_path):
+    """compiler_options compose with the mesh-sharded jit path."""
+    save = str(tmp_path / "copt_mesh")
+    mnist_runner.main([
+        "--solvers", "rk2,u,2,-1,0.5,-1",
+        "--nepochs", "1",
+        "--batch_size", "16",
+        "--test_batch_size", "16",
+        "--synthetic_train_size", "32",
+        "--synthetic_test_size", "16",
+        "--mesh", "data=2",
+        "--compiler_option", "xla_embed_ir_in_executable=false",
+        "--save_dir", save,
+    ])
+    assert glob.glob(os.path.join(save, "last", "step_*"))
+
+
+def test_make_train_step_rejects_compiler_options_unjitted():
+    """compiler_options without jit_compile would be silently dropped —
+    the factory refuses instead."""
+    from neural_ode_metasolver_tpu.models.api import build_model
+    from neural_ode_metasolver_tpu.ops import SolverOptions, create_solver
+    from neural_ode_metasolver_tpu.training import (
+        make_optimizer,
+        make_train_step,
+    )
+
+    with pytest.raises(ValueError, match="compiler_options"):
+        make_train_step(
+            build_model("mnist", dim=8),
+            make_optimizer("sgd", 0.1),
+            [create_solver("rk2", "u", n_steps=2, u0=0.5)],
+            SolverOptions(),
+            jit_compile=False,
+            compiler_options={"xla_embed_ir_in_executable": False},
+        )
