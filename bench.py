@@ -84,17 +84,42 @@ def main():
     opts = SolverOptions()
     tx = make_optimizer("sgd", cyclic_lr(1e-7, 0.1, 3186), momentum=0.9,
                         weight_decay=5e-4)
-    step = make_train_step(
-        model, tx, solvers, opts,
-        attack_cfg=AttackConfig(mode="fgsm_random", eps=8 / 255,
-                                alpha=10 / 255, mean=CIFAR10_MEAN,
-                                std=CIFAR10_STD),
-        noise_cfg=NoiseConfig(noise_type="normal", sigma=0.0125, prob=1.0),
-        # production precision policy: bf16 activations, f32 master params
-        # (the TPU-native apex-O1; 1.66x over f32 on v5e)
-        compute_dtype=jnp.bfloat16,
-        unroll=8,  # fuse all 8 scan steps: +10% on v5e
-    )
+
+    def make_step(compiler_options):
+        return make_train_step(
+            model, tx, solvers, opts,
+            attack_cfg=AttackConfig(mode="fgsm_random", eps=8 / 255,
+                                    alpha=10 / 255, mean=CIFAR10_MEAN,
+                                    std=CIFAR10_STD),
+            noise_cfg=NoiseConfig(noise_type="normal", sigma=0.0125,
+                                  prob=1.0),
+            # production precision policy: bf16 activations, f32 master
+            # params (the TPU-native apex-O1; 1.66x over f32 on v5e)
+            compute_dtype=jnp.bfloat16,
+            unroll=8,  # fuse all 8 scan steps: +10% on v5e
+            compiler_options=compiler_options,
+        )
+
+    # the bundle-aware fusion cost model is the measured v5e winner for
+    # this step (102.6 -> 84.3 ms, loss trajectory within bf16 noise —
+    # SCALING.md "fusion-flag sweep"); fall back to default flags if a
+    # backend rejects the option so the bench never zeroes out on a
+    # compiler change
+    # "True" (capitalized string): the one boolean spelling BOTH the
+    # local PJRT parser and the remote tpu_compile_helper accept
+    copts = {"xla_tpu_use_bundle_aware_cost_model_for_fusions": "True"}
+    step = make_step(copts)
+    try:
+        ts_probe = create_train_state(model, tx, jax.random.key(0))
+        jax.block_until_ready(
+            step(ts_probe, jax.random.normal(
+                jax.random.key(1), (BATCH, 32, 32, 3), jnp.float32),
+                jax.random.randint(jax.random.key(2), (BATCH,), 0, 10),
+                jax.random.key(10))[0])
+    except Exception as e:
+        print(f"compiler_options rejected ({repr(e)[:80]}); benching "
+              "default flags", file=sys.stderr)
+        step = make_step(None)
 
     x = jax.random.normal(jax.random.key(1), (BATCH, 32, 32, 3), jnp.float32)
     y = jax.random.randint(jax.random.key(2), (BATCH,), 0, 10)

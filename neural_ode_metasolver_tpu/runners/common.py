@@ -169,11 +169,13 @@ def parse_compiler_options(pairs: Sequence[str]) -> Optional[dict]:
         if not name or not sep or not value:
             raise ValueError(
                 f"bad --compiler_option {pair!r}; expected NAME=VALUE")
-        # normalize booleans: the local PJRT option parser insists on
-        # True/False while the remote tpu helper takes true/false — a
-        # typed bool satisfies both
+        # normalize boolean spellings: the local PJRT option parser
+        # rejects lowercase "true"/"false" (and the remote tpu compile
+        # helper rejects typed Python bools); the capitalized strings
+        # "True"/"False" are accepted by BOTH parsers (measured,
+        # SCALING.md / verify skill)
         if value.lower() in ("true", "false"):
-            opts[name] = value.lower() == "true"
+            opts[name] = value.lower().capitalize()
         else:
             opts[name] = value
     return opts

@@ -621,12 +621,13 @@ def test_parse_compiler_options():
         "xla_tpu_enable_latency_hiding_scheduler=true",
         "xla_embed_ir_in_executable=False",
     ])
-    # booleans normalized to typed bools (local PJRT insists on
-    # True/False, the remote tpu helper on true/false; bools satisfy both)
+    # boolean spellings normalized to capitalized "True"/"False" — the
+    # one form BOTH the local PJRT parser (rejects lowercase) and the
+    # remote tpu compile helper (rejects typed bools) accept
     assert opts == {
         "xla_tpu_scoped_vmem_limit_kib": "65536",
-        "xla_tpu_enable_latency_hiding_scheduler": True,
-        "xla_embed_ir_in_executable": False,
+        "xla_tpu_enable_latency_hiding_scheduler": "True",
+        "xla_embed_ir_in_executable": "False",
     }
     for bad in ("justaname", "name=", "=value"):
         with pytest.raises(ValueError):
