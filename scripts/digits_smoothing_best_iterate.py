@@ -137,7 +137,11 @@ def main():
                     ts, _ = step(ts, jnp.asarray(x), jnp.asarray(y), sub)
                 best = track_best(best, ts.params, ts.model_state,
                                   jnp.int32(epoch))
-            data = lambda: batch_iterator(test_ds, 1000, shuffle=False,
+            # batch 256 (NOT the full set in one batch): adversarial_accuracy
+            # splits its key PER BATCH, so the batching is part of the PRNG
+            # chain the stored campaign used — changing it changes the
+            # robust numbers (found by the seed-187 cross-check)
+            data = lambda: batch_iterator(test_ds, 256, shuffle=False,
                                           drop_last=False)
             final_clean = float(clean_acc_fn(ts.params, ts.model_state))
             # original chain position: final-iterate robust eval
