@@ -100,29 +100,30 @@ def main():
             compiler_options=compiler_options,
         )
 
+    x = jax.random.normal(jax.random.key(1), (BATCH, 32, 32, 3), jnp.float32)
+    y = jax.random.randint(jax.random.key(2), (BATCH,), 0, 10)
+
     # the bundle-aware fusion cost model is the measured v5e winner for
     # this step (102.6 -> 84.3 ms, loss trajectory within bf16 noise —
-    # SCALING.md "fusion-flag sweep"); fall back to default flags if a
-    # backend rejects the option so the bench never zeroes out on a
-    # compiler change
+    # SCALING.md "fusion-flag sweep"); fall back to default flags only if
+    # a backend genuinely rejects the option — transient chip errors go
+    # through the same retry classification as the timed window, so a
+    # flaky tunnel can't silently demote the bench to the slow program.
     # "True" (capitalized string): the one boolean spelling BOTH the
     # local PJRT parser and the remote tpu_compile_helper accept
     copts = {"xla_tpu_use_bundle_aware_cost_model_for_fusions": "True"}
     step = make_step(copts)
-    try:
+
+    def probe():
         ts_probe = create_train_state(model, tx, jax.random.key(0))
-        jax.block_until_ready(
-            step(ts_probe, jax.random.normal(
-                jax.random.key(1), (BATCH, 32, 32, 3), jnp.float32),
-                jax.random.randint(jax.random.key(2), (BATCH,), 0, 10),
-                jax.random.key(10))[0])
+        jax.block_until_ready(step(ts_probe, x, y, jax.random.key(10))[0])
+
+    try:
+        _run_with_retries(probe)
     except Exception as e:
         print(f"compiler_options rejected ({repr(e)[:80]}); benching "
               "default flags", file=sys.stderr)
         step = make_step(None)
-
-    x = jax.random.normal(jax.random.key(1), (BATCH, 32, 32, 3), jnp.float32)
-    y = jax.random.randint(jax.random.key(2), (BATCH,), 0, 10)
 
     def timed_window():
         # Fresh state per attempt: the step donates its TrainState, so a

@@ -47,9 +47,8 @@ def load(paths):
 
 
 def analyze(by, expected_n=48):
-    paired = sorted(s for (_, s) in by
-                    if ("smoothing", s) in by and ("standalone", s) in by)
-    paired = sorted(set(paired))
+    paired = sorted({s for (r, s) in by
+                     if r == "smoothing" and ("standalone", s) in by})
     if not paired:
         print("no pairs")
         return
@@ -58,6 +57,16 @@ def analyze(by, expected_n=48):
     if len(paired) != expected_n:
         print(f"*** DEVIATION: pre-registered n={expected_n}, analyzed "
               f"n={len(paired)} ***")
+    if len(paired) < 2:
+        # the sanctioned early-end analysis degenerates at n=1: report
+        # the point difference, no interval
+        for label, idx in (("best-iterate robust_acc (PRIMARY)", 1),
+                           ("best-iterate clean_acc (secondary)", 0)):
+            d = (by[("smoothing", paired[0])][idx]
+                 - by[("standalone", paired[0])][idx])
+            print(f"{label}: single pair, diff {d * 100:+.3f} pt — "
+                  "no inference possible at n=1")
+        return
     for label, idx in (("best-iterate robust_acc (PRIMARY)", 1),
                        ("best-iterate clean_acc (secondary)", 0),
                        ("final robust_acc (descriptive only)", 3),
