@@ -29,11 +29,14 @@ __all__ = [
     "CIFAR10_STD",
     "load_mnist",
     "load_cifar10",
+    "load_svhn",
+    "load_digits_dataset",
     "synthetic_dataset",
     "Dataset",
     "batch_iterator",
     "inf_generator",
     "augment_batch",
+    "normalize_images",
     "train_val_split",
 ]
 
@@ -249,6 +252,11 @@ def batch_iterator(
     'native' force a path.  The two paths implement identical transforms with
     independent deterministic RNG streams.
     """
+    if (mean is None) != (std is None):
+        # same check as the native path (native.py:128); without it the
+        # NumPy path would divide by np.asarray(None) == nan, silently
+        # producing all-NaN batches
+        raise ValueError("mean and std must be given together")
     use_native = False
     if backend in ("auto", "native"):
         from .native import augment_batch_native, native_available
@@ -284,9 +292,18 @@ def inf_generator(make_iter):
     """Infinite restarting iterator (odenet_mnist/data.py:72-81).
 
     ``make_iter``: zero-arg callable returning a fresh epoch iterator.
+    Raises if an epoch yields no batches (e.g. batch_size > dataset size
+    with drop_last) — the alternative is an infinite busy-loop.
     """
     epoch = 0
     while True:
+        yielded = False
         for batch in make_iter(epoch):
+            yielded = True
             yield batch
+        if not yielded:
+            raise ValueError(
+                "epoch iterator produced no batches (batch_size larger "
+                "than the dataset with drop_last?)"
+            )
         epoch += 1

@@ -113,9 +113,12 @@ def _threaded_prefetch(iterator, size, put) -> Iterator[Any]:
             offer(e)
 
     t = threading.Thread(target=producer, daemon=True, name="prefetch")
-    t.start()
 
     def gen():
+        # start lazily on first next(): a constructed-but-never-iterated
+        # generator must not leak the thread + `size` device-resident
+        # batches (its finally-cleanup only runs once iteration starts)
+        t.start()
         try:
             while True:
                 item = q.get()

@@ -180,6 +180,10 @@ def apply_init_scheme(key: Array, params, scheme: str):
     """
     if scheme is None:
         return params
+    if scheme not in ("orthogonal", "xavier"):
+        # raise like the sibling string registries (make_norm_def,
+        # get_activation) — a typo must not silently keep default init
+        raise NameError(f"Unknown init scheme {scheme!r}")
     n_leaves = len(jax.tree_util.tree_leaves(params))
     keys = jax.random.split(key, max(n_leaves, 1))
     idx = [0]  # recursive walk: kernels need their sibling bias
@@ -315,6 +319,13 @@ class NormDef:
         if self.kind == "BN":
             return batch_norm_init(ch)
         if self.kind in ("GN", "LN"):
+            if self.kind == "GN" and ch % min(self.num_groups, ch) != 0:
+                # torch nn.GroupNorm raises this at construction; without
+                # it the failure is an opaque reshape error mid-forward
+                raise ValueError(
+                    f"num_channels {ch} must be divisible by num_groups "
+                    f"{min(self.num_groups, ch)}"
+                )
             return group_norm_init(ch), None
         return None, None  # IN, NF
 

@@ -273,20 +273,21 @@ def _pipeline_ode_blocks(
     ``len(p_effs) // stages`` per stage, composed in sequential order, so
     the result equals the Python loop bit-for-bit up to reduction order
     (asserted in tests/test_parallel.py pp-parity tests)."""
-    from ..parallel.pipeline import pipeline_apply
+    from ..parallel.pipeline import pipeline_apply, stack_stage_params
 
     S = pipeline.stages
     per = len(p_effs) // S
 
-    def group(leaves):
-        stacked = jnp.stack(leaves)
-        return stacked.reshape(S, per, *stacked.shape[1:])
+    def group(tree):
+        # (n_blocks, ...) -> (S, per, ...): stage-major grouping of the
+        # block axis produced by stack_stage_params
+        return jax.tree_util.tree_map(
+            lambda l: l.reshape(S, per, *l.shape[1:]), tree
+        )
 
-    stage_tree = {
-        "p": jax.tree_util.tree_map(lambda *ls: group(ls), *p_effs),
-    }
+    stage_tree = {"p": group(stack_stage_params(p_effs))}
     if bkeys is not None:
-        stage_tree["k"] = group(bkeys)
+        stage_tree["k"] = group(jnp.stack(bkeys))
 
     def body(stage, x_mb):
         for j in range(per):

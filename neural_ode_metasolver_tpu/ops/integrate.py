@@ -87,7 +87,8 @@ def _check_grid_spans(time_grid, t) -> None:
     ):
         return
     try:
-        lo, hi = float(time_grid[0]), float(time_grid[-1])
+        # order the bounds: the grid itself may run backward in time
+        lo, hi = sorted((float(time_grid[0]), float(time_grid[-1])))
         t_lo, t_hi = float(jnp.min(t)), float(jnp.max(t))
     except (TypeError, jax.errors.TracerArrayConversionError):
         return
@@ -256,8 +257,16 @@ def odeint(
 
     # Vectorized linear interpolation of each requested time onto the grid
     # (reference ``_linear_interp``, rk_parametric.py:116-123).
-    idx = jnp.clip(jnp.searchsorted(time_grid, t, side="left"), 1,
-                   time_grid.shape[0] - 1)
+    # searchsorted needs an ascending sequence; a backward-in-time grid
+    # (t1 < t0 — decreasing linspace) is handled by flipping the sign of
+    # both the grid and the query times, which works traced (no branch).
+    direction = jnp.where(
+        time_grid[-1] >= time_grid[0], 1, -1
+    ).astype(time_grid.dtype)
+    idx = jnp.clip(
+        jnp.searchsorted(direction * time_grid, direction * t, side="left"),
+        1, time_grid.shape[0] - 1,
+    )
     t_lo = time_grid[idx - 1]
     t_hi = time_grid[idx]
     y_lo = ys[idx - 1]
@@ -268,4 +277,6 @@ def odeint(
     frac = jnp.where(t == t_lo, jnp.zeros_like(frac), frac)
     bshape = (t.shape[0],) + (1,) * (ys.ndim - 1)
     frac = frac.reshape(bshape)
-    return y_lo + (y_hi - y_lo) * frac
+    # cast back: the f32 frac arithmetic must not promote a bf16 trajectory
+    # (odeint_final/odeint_grid return the carry dtype; odeint matches)
+    return (y_lo + (y_hi - y_lo) * frac).astype(ys.dtype)

@@ -76,18 +76,40 @@ class ParametricSolver:
         return self.replace(frozen=False)
 
     def with_params(self, u=None, v=None) -> "ParametricSolver":
-        """Return a solver with new u/v (reference param-update protocol)."""
+        """Return a solver with new u/v (reference param-update protocol).
+
+        Raises if a parameter is supplied that this solver does not have
+        (e.g. ``v`` on an rk2/'u'-parameterized solver) — silently dropping
+        it would turn a mistaken update into a no-op.
+        """
         new = self
         if u is not None:
+            if self.u is None:
+                raise ValueError(
+                    f"solver {self.method!r}/{self.parameterization!r} has "
+                    "no parameter u"
+                )
             new = new.replace(u=jnp.asarray(u, dtype=jnp.result_type(self.u)))
-        if v is not None and self.v is not None:
+        if v is not None:
+            if self.v is None:
+                raise ValueError(
+                    f"solver {self.method!r}/{self.parameterization!r} has "
+                    "no parameter v"
+                )
             new = new.replace(v=jnp.asarray(v, dtype=jnp.result_type(self.v)))
         return new
 
     def reset_params(self) -> "ParametricSolver":
-        """Restore u0/v0 (reference 'denoise' step, runner.py:201-204)."""
-        u = None if self.u0 is None else jnp.asarray(self.u0, jnp.float32)
-        v = None if self.v0 is None else jnp.asarray(self.v0, jnp.float32)
+        """Restore u0/v0 (reference 'denoise' step, runner.py:201-204).
+
+        Preserves the dtype the solver was created with: a dtype flip here
+        would change the dtype-dependent validity eps (tableau numerics)
+        and retrigger jit compilation of every step function.
+        """
+        u_dt = jnp.float32 if self.u is None else jnp.result_type(self.u)
+        v_dt = jnp.float32 if self.v is None else jnp.result_type(self.v)
+        u = None if self.u0 is None else jnp.asarray(self.u0, u_dt)
+        v = None if self.v0 is None else jnp.asarray(self.v0, v_dt)
         return self.replace(u=u, v=v)
 
     # -- tableau ------------------------------------------------------------
@@ -138,7 +160,7 @@ class ParametricSolver:
         """Fast path: only y(t1) — what the ODE blocks actually consume."""
         if self.custom_grid is not None:
             grid = jnp.asarray(self.custom_grid, jnp.float32)
-        elif self.n_steps or self.step_size:
+        elif self.n_steps is not None or self.step_size is not None:
             grid = None
         else:
             grid = jnp.asarray([t0, t1], jnp.float32)
@@ -171,6 +193,13 @@ def create_solver(
         n_steps = None
     if step_size == -1:
         step_size = None
+    # Construction-time grid validation (the reference rejects bad grid
+    # configs in RKParametricSolver.__init__, rk_parametric.py:9-20); an
+    # n_steps=0 solver would otherwise produce a 1-point grid and NaNs.
+    if n_steps is not None and n_steps < 1:
+        raise ValueError(f"n_steps must be >= 1, got {n_steps}")
+    if step_size is not None and not step_size > 0:
+        raise ValueError(f"step_size must be > 0, got {step_size}")
     method = method.lower()
     if method not in _ORDERS:
         raise ValueError(f"unknown solver method {method!r}")

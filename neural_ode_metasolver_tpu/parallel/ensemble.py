@@ -36,6 +36,10 @@ def stack_solver_params(solvers: Sequence[ParametricSolver]):
             or s.n_steps != ref.n_steps
             or s.step_size != ref.step_size
             or s.custom_grid != ref.custom_grid
+            # frozen gates stop_gradient on every member's tableau
+            # (one_member below applies ref.frozen to all), so a mixed
+            # frozen/unfrozen list would silently mis-route gradients
+            or s.frozen != ref.frozen
         ):
             raise ValueError(
                 "ensemble_integrate needs a homogeneous ensemble; use the "

@@ -76,12 +76,15 @@ def export_model(
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "model.stablehlo"), "wb") as f:
         f.write(exported.serialize())
+    # user config first: the reserved keys describe the artifact itself and
+    # must win — a colliding user entry would desynchronize config.json
+    # from the serialized StableHLO (wrong shape/dtype/platforms on load)
     meta = {
+        **(config or {}),
         "input_shape": list(input_shape),
         "input_dtype": jnp.dtype(input_dtype).name,
         "batch_polymorphic": batch_polymorphic,
         "platforms": list(exported.platforms),
-        **(config or {}),
     }
     with open(os.path.join(path, "config.json"), "w") as f:
         json.dump(meta, f, indent=1)

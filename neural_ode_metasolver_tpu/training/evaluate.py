@@ -18,11 +18,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..attacks import fgsm, fgsm2ensemble, pgd
+from ..attacks import fgsm2ensemble
 from ..models.api import Model
 from ..ops.regimes import SolverOptions
 from ..ops.solver import ParametricSolver
-from .train import AttackConfig, make_eval_step
+from .train import AttackConfig, _run_attack, make_eval_step
 
 Array = jax.Array
 
@@ -40,11 +40,6 @@ __all__ = [
 ]
 
 
-def _iterate(data):
-    for batch in data:
-        yield batch
-
-
 def _drain_counts(counts, total) -> float:
     """Accuracy from per-batch on-device correct-counts.
 
@@ -54,6 +49,19 @@ def _drain_counts(counts, total) -> float:
     (SCALING.md 'input-pipeline discipline')."""
     correct = int(np.sum(jax.device_get(counts))) if counts else 0
     return correct / max(total, 1)
+
+
+def _accumulate_accuracy(data, batch_scores) -> float:
+    """The one counting loop shared by every accuracy entry point:
+    ``batch_scores(x, y)`` returns per-batch logits or probs; argmax
+    counts accumulate on device (see ``_drain_counts``)."""
+    counts = []
+    total = 0
+    for x, y in data:
+        scores = batch_scores(x, y)
+        counts.append(jnp.sum(jnp.argmax(scores, -1) == jnp.asarray(y)))
+        total += int(np.asarray(y).shape[0])
+    return _drain_counts(counts, total)
 
 
 def accuracy(
@@ -70,17 +78,15 @@ def accuracy(
     compiled eval step across epochs; otherwise one is built per call."""
     if predict is None:
         predict = make_eval_step(model, solvers, solver_options)
-    counts = []
-    total = 0
-    for x, y in _iterate(data):
+
+    def batch_scores(x, y):
+        nonlocal key
+        sub = None
         if key is not None:
             key, sub = jax.random.split(key)
-        else:
-            sub = None
-        logits = predict(params, state, jnp.asarray(x), sub)
-        counts.append(jnp.sum(jnp.argmax(logits, -1) == jnp.asarray(y)))
-        total += int(np.asarray(y).shape[0])
-    return _drain_counts(counts, total)
+        return predict(params, state, jnp.asarray(x), sub)
+
+    return _accumulate_accuracy(data, batch_scores)
 
 
 def make_adversarial_predict(
@@ -92,31 +98,23 @@ def make_adversarial_predict(
     """Build the jitted attack->forward evaluator once; pass it to
     ``adversarial_accuracy(..., predict=...)`` to reuse the compiled
     attack-through-the-ODE-solve graph across epochs (a fresh closure per
-    call would retrace/recompile every time)."""
+    call would retrace/recompile every time).
+
+    Attack dispatch is shared with the train step (``_run_attack``), so
+    every train mode — clean / fgsm / fgsm_random / at — evaluates with
+    the same AttackConfig it was trained with."""
 
     @jax.jit
     def attacked_logits(params, state, x, y, k_attack, k_fwd):
-        def fwd(xi, k=None):
-            logits, _, _ = model.apply(
-                params, state, xi, solvers, solver_options,
-                key=k_fwd if k is None else k, train=False,
-            )
-            return logits
-
-        if attack_cfg.mode == "fgsm":
-            xa, _ = fgsm(fwd, x, y, attack_cfg.eps, attack_cfg.mean,
-                         attack_cfg.std)
-        elif attack_cfg.mode == "at":
-            xa, _ = pgd(
-                fwd, k_attack, x, y, attack_cfg.eps, attack_cfg.pgd_lr,
-                attack_cfg.pgd_niter, attack_cfg.pgd_random_start,
-                attack_cfg.mean, attack_cfg.std, fwd_key=k_fwd,
-            )
-        elif attack_cfg.mode == "clean":
-            xa = x
-        else:
-            raise ValueError(attack_cfg.mode)
-        return fwd(xa)
+        xa = _run_attack(
+            model, params, state, solvers, solver_options, attack_cfg,
+            x, y, k_attack, k_fwd, False, 1,
+        )
+        logits, _, _ = model.apply(
+            params, state, xa, solvers, solver_options,
+            key=k_fwd, train=False,
+        )
+        return logits
 
     return attacked_logits
 
@@ -140,16 +138,15 @@ def adversarial_accuracy(
         predict = make_adversarial_predict(
             model, solvers, solver_options, attack_cfg
         )
-    counts = []
-    total = 0
-    for x, y in _iterate(data):
+
+    def batch_scores(x, y):
+        nonlocal key
         key, k_attack, k_fwd = jax.random.split(key, 3)
-        logits = predict(
+        return predict(
             params, state, jnp.asarray(x), jnp.asarray(y), k_attack, k_fwd
         )
-        counts.append(jnp.sum(jnp.argmax(logits, -1) == jnp.asarray(y)))
-        total += int(np.asarray(y).shape[0])
-    return _drain_counts(counts, total)
+
+    return _accumulate_accuracy(data, batch_scores)
 
 
 def _make_member_fwd(model):
@@ -192,18 +189,24 @@ def _homogeneous_solver_members(members):
     return p0, s0, o0, ref, u, v
 
 
-def _vmapped_member_probs(model, homo, mesh, member_axis):
-    """Jitted ``probs(x, keys) -> (n_members, B, n_classes)`` vmapped over
-    the stacked solver coefficients, member axis sharded over ``mesh`` —
-    each member's full ODE solve runs on its own mesh slice
-    (parallel/ensemble.py's layout, reaching the eval harness)."""
+def _solver_static_sig(s: ParametricSolver):
+    return (s.method, s.parameterization, s.n_steps, s.step_size,
+            s.custom_grid, s.frozen)
+
+
+def _vmapped_member_probs(model, options, ref, mesh, member_axis):
+    """``probs(params, state, u_stack, v_stack, x, keys) ->
+    (n_members, B, n_classes)`` vmapped over the stacked solver
+    coefficients, member axis sharded over ``mesh`` — each member's full
+    ODE solve runs on its own mesh slice (parallel/ensemble.py's layout,
+    reaching the eval harness).  Only static structure (``options`` and
+    ``ref``'s non-leaf metadata) is baked; params/state/coefficients flow
+    as call arguments so reuse across epochs sees fresh values."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    params, state, options, ref, u_stack, v_stack = homo
-
-    def probs_fn(x, keys):
+    def probs_fn(params, state, u_stack, v_stack, x, keys):
         def member(u_i, v_i, k):
-            s = ref.replace(u=u_i) if v_stack is None else ref.replace(
+            s = ref.replace(u=u_i) if v_i is None else ref.replace(
                 u=u_i, v=v_i)
             logits, _, _ = model.apply(params, state, x, [s], options,
                                        key=k, train=False)
@@ -229,19 +232,35 @@ def make_ensemble_probs(
     mesh=None,
     member_axis: str = "ensemble",
 ):
-    """Build the jitted prob-averaging closure ``probs_fn(x, keys)`` ONCE;
-    pass it to ``accuracy_ensemble(..., predict=...)`` to reuse the
-    compiled multi-member ODE-solve graph across epochs (same rationale
-    as :func:`make_adversarial_predict` — a fresh closure per call
-    retraces every time, 5-10+ min per compile on the remote chip)."""
+    """Build the jitted prob-averaging closure ``probs_fn(members, x,
+    keys)`` ONCE; pass it to ``accuracy_ensemble(..., predict=...)`` to
+    reuse the compiled multi-member ODE-solve graph across epochs (same
+    rationale as :func:`make_adversarial_predict` — a fresh closure per
+    call retraces every time, 5-10+ min per compile on the remote chip).
+
+    Only static structure (member count, options, solver families) is
+    baked at build time; params/state/coefficients are taken from the
+    ``members`` passed at CALL time, so per-epoch reuse evaluates the
+    current weights, not the build-time ones.  A structural mismatch
+    between build- and call-time members raises."""
+    n_members = len(members)
+
     if mesh is not None:
-        homo = _homogeneous_solver_members(members)
-        vprobs = jax.jit(_vmapped_member_probs(model, homo, mesh,
+        _, _, options, ref, _, _ = _homogeneous_solver_members(members)
+        vprobs = jax.jit(_vmapped_member_probs(model, options, ref, mesh,
                                                member_axis))
+        ref_sig = _solver_static_sig(ref)
 
-        options = homo[2]
-
-        def probs_fn(x, keys):
+        def probs_fn(members, x, keys):
+            p0, s0, opts, ref_now, u_stack, v_stack = (
+                _homogeneous_solver_members(members)
+            )
+            if (len(members) != n_members or opts != options
+                    or _solver_static_sig(ref_now) != ref_sig):
+                raise ValueError(
+                    "ensemble closure was built for a different member "
+                    "structure — rebuild with make_ensemble_probs"
+                )
             if keys[0] is None:
                 # match the member-loop path: key-consuming regimes must
                 # raise, not silently run on a fabricated seed
@@ -250,24 +269,37 @@ def make_ensemble_probs(
                     raise ValueError(
                         f"{options.solver_mode} mode needs a PRNG key")
                 # standalone never consumes the keys; any placeholder works
-                keys = jax.random.split(jax.random.key(0), len(members))
+                keys = jax.random.split(jax.random.key(0), n_members)
             else:
                 keys = jnp.stack(keys)
-            return jnp.mean(vprobs(x, keys), axis=0)
+            return jnp.mean(vprobs(p0, s0, u_stack, v_stack, x, keys),
+                            axis=0)
 
         return probs_fn
 
     make_fwd = _make_member_fwd(model)
+    options_list = tuple(m[3] for m in members)
 
     @jax.jit
-    def probs_fn(x, keys):
+    def _probs(dyn, x, keys):
         probs = None
-        for (params, state, solvers, options), k in zip(members, keys):
+        for (params, state, solvers), options, k in zip(
+                dyn, options_list, keys):
             p = jax.nn.softmax(
                 make_fwd(params, state, solvers, options, k)(x), axis=-1
             )
             probs = p if probs is None else probs + p
-        return probs / len(members)
+        return probs / n_members
+
+    def probs_fn(members, x, keys):
+        if (len(members) != n_members
+                or tuple(m[3] for m in members) != options_list):
+            raise ValueError(
+                "ensemble closure was built for a different member "
+                "structure — rebuild with make_ensemble_probs"
+            )
+        dyn = [(p, s, sol) for (p, s, sol, _) in members]
+        return _probs(dyn, x, keys)
 
     return probs_fn
 
@@ -294,23 +326,22 @@ def accuracy_ensemble(
 
     ``predict``: a closure from :func:`make_ensemble_probs`, reused across
     calls so a per-epoch ensemble eval doesn't retrace/recompile the full
-    multi-member ODE-solve graph every epoch."""
+    multi-member ODE-solve graph every epoch (the current ``members`` are
+    still what gets evaluated — params flow as call arguments)."""
     probs_fn = predict if predict is not None else make_ensemble_probs(
         model, members, mesh=mesh, member_axis=member_axis
     )
 
-    counts = []
-    total = 0
-    for x, y in _iterate(data):
+    def batch_scores(x, y):
+        nonlocal key
         if key is not None:
             key, *subs = jax.random.split(key, len(members) + 1)
             subs = list(subs)
         else:
             subs = [None] * len(members)
-        probs = probs_fn(jnp.asarray(x), subs)
-        counts.append(jnp.sum(jnp.argmax(probs, -1) == jnp.asarray(y)))
-        total += int(np.asarray(y).shape[0])
-    return _drain_counts(counts, total)
+        return probs_fn(members, jnp.asarray(x), subs)
+
+    return _accumulate_accuracy(data, batch_scores)
 
 
 def make_ensemble_attacked_probs(
@@ -322,34 +353,55 @@ def make_ensemble_attacked_probs(
     member_axis: str = "ensemble",
 ):
     """Build the jitted joint-attack + prob-average closure
-    ``attacked_probs(x, y, keys)`` once (reuse rationale as
-    :func:`make_ensemble_probs`)."""
+    ``attacked_probs(members, x, y, keys)`` once (reuse and
+    params-as-call-arguments rationale as :func:`make_ensemble_probs`)."""
+    n_members = len(members)
+
     if mesh is not None:
-        homo = _homogeneous_solver_members(members)
-        vprobs = _vmapped_member_probs(model, homo, mesh, member_axis)
+        _, _, options, ref, _, _ = _homogeneous_solver_members(members)
+        vprobs = _vmapped_member_probs(model, options, ref, mesh,
+                                       member_axis)
+        ref_sig = _solver_static_sig(ref)
         from ..attacks import fgsm_mean_prob_attack
 
         @jax.jit
-        def attacked_probs(x, y, keys):
-            keys = jnp.stack(keys)
+        def _attacked(params, state, u_stack, v_stack, x, y, keys):
             # the vmapped mean-prob closure feeds the SAME attack core as
             # the member-loop path (fgsm2ensemble) — one copy of the
             # reference-parity semantics for both
             xa, _ = fgsm_mean_prob_attack(
-                lambda xn: jnp.mean(vprobs(xn, keys), axis=0),
+                lambda xn: jnp.mean(
+                    vprobs(params, state, u_stack, v_stack, xn, keys),
+                    axis=0),
                 x, y, attack_cfg.eps, attack_cfg.mean, attack_cfg.std,
             )
-            return jnp.mean(vprobs(xa, keys), axis=0)
+            return jnp.mean(
+                vprobs(params, state, u_stack, v_stack, xa, keys), axis=0)
+
+        def attacked_probs(members, x, y, keys):
+            p0, s0, opts, ref_now, u_stack, v_stack = (
+                _homogeneous_solver_members(members)
+            )
+            if (len(members) != n_members or opts != options
+                    or _solver_static_sig(ref_now) != ref_sig):
+                raise ValueError(
+                    "ensemble closure was built for a different member "
+                    "structure — rebuild with make_ensemble_attacked_probs"
+                )
+            return _attacked(p0, s0, u_stack, v_stack, x, y,
+                             jnp.stack(keys))
 
         return attacked_probs
 
     make_fwd = _make_member_fwd(model)
+    options_list = tuple(m[3] for m in members)
 
     @jax.jit
-    def attacked_probs(x, y, keys):
+    def _attacked(dyn, x, y, keys):
         fwds = [
             make_fwd(params, state, solvers, options, k)
-            for (params, state, solvers, options), k in zip(members, keys)
+            for (params, state, solvers), options, k in zip(
+                dyn, options_list, keys)
         ]
         xa, _ = fgsm2ensemble(fwds, x, y, attack_cfg.eps, attack_cfg.mean,
                               attack_cfg.std)
@@ -357,7 +409,17 @@ def make_ensemble_attacked_probs(
         for fwd in fwds:
             p = jax.nn.softmax(fwd(xa), axis=-1)
             probs = p if probs is None else probs + p
-        return probs / len(fwds)
+        return probs / n_members
+
+    def attacked_probs(members, x, y, keys):
+        if (len(members) != n_members
+                or tuple(m[3] for m in members) != options_list):
+            raise ValueError(
+                "ensemble closure was built for a different member "
+                "structure — rebuild with make_ensemble_attacked_probs"
+            )
+        dyn = [(p, s, sol) for (p, s, sol, _) in members]
+        return _attacked(dyn, x, y, keys)
 
     return attacked_probs
 
@@ -381,21 +443,22 @@ def adversarial_accuracy_ensemble(
     log-mean-prob NLL.
 
     ``predict``: a closure from :func:`make_ensemble_attacked_probs`,
-    reused across calls to avoid per-epoch recompiles."""
+    reused across calls to avoid per-epoch recompiles (the current
+    ``members`` are still what gets attacked and evaluated)."""
     attacked_probs = (
         predict if predict is not None else make_ensemble_attacked_probs(
             model, members, attack_cfg, mesh=mesh, member_axis=member_axis
         )
     )
 
-    counts = []
-    total = 0
-    for x, y in _iterate(data):
+    def batch_scores(x, y):
+        nonlocal key
         key, *subs = jax.random.split(key, len(members) + 1)
-        probs = attacked_probs(jnp.asarray(x), jnp.asarray(y), list(subs))
-        counts.append(jnp.sum(jnp.argmax(probs, -1) == jnp.asarray(y)))
-        total += int(np.asarray(y).shape[0])
-    return _drain_counts(counts, total)
+        return attacked_probs(
+            members, jnp.asarray(x), jnp.asarray(y), list(subs)
+        )
+
+    return _accumulate_accuracy(data, batch_scores)
 
 
 def sn_test(

@@ -72,6 +72,10 @@ def nfe_per_forward(
         per_block = nfes[0]
     elif options.solver_mode == "switch":
         probs = options.switch_probs or [1.0 / n] * n
+        if len(probs) != n:
+            raise ValueError(
+                f"switch_probs has {len(probs)} entries for {n} solvers"
+            )
         per_block = sum(p * f for p, f in zip(probs, nfes))
     elif options.solver_mode == "ensemble":
         p = options.ensemble_prob

@@ -39,6 +39,13 @@ def learning_rate_with_decay(
 ):
     """Piecewise-constant decay on the *iteration* axis
     (odenet_mnist/utils.py:7-18)."""
+    if len(decay_rates) != len(boundary_epochs) + 1:
+        # an out-of-range index would be silently clamped by JAX gather
+        # semantics, running at the wrong LR with no error
+        raise ValueError(
+            f"need len(boundary_epochs)+1 = {len(boundary_epochs) + 1} "
+            f"decay_rates, got {len(decay_rates)}"
+        )
     initial = lr0 * batch_size / batch_denom
     boundaries = jnp.asarray(
         [batches_per_epoch * e for e in boundary_epochs], jnp.int32

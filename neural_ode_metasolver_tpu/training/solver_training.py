@@ -120,14 +120,47 @@ def make_solver_train_step(
         1.0 - 1e-3 if s.method == "rk4" else 1.0 for s in solvers
     )
 
+    # rk4 'uv' has a pole at u=1/2: the tableau clamp saturates in a band of
+    # width validity_eps around it (ops/tableau.py:195-199), where
+    # d(tableau)/du is exactly zero.  2e-3 > validity_eps(f32) = f16 eps, so
+    # pushing u to the nearest band edge keeps the gradient alive.
+    _POLE_BAND = 2e-3
+
+    def _clip_sp(sp, s, hi):
+        sp = jax.tree_util.tree_map(lambda p: jnp.clip(p, 1e-3, hi), sp)
+        if s.method == "rk4" and s.parameterization == "uv":
+            u = sp["u"]
+            sp = dict(
+                sp,
+                u=jnp.where(
+                    jnp.abs(u - 0.5) < _POLE_BAND,
+                    jnp.where(u < 0.5, 0.5 - _POLE_BAND, 0.5 + _POLE_BAND),
+                    u,
+                ),
+            )
+        return sp
+
+    # only widen the key split when data noise is on, so existing
+    # data_noise_std=0 configs keep their recorded PRNG streams
+    use_data_noise = loss_cfg.data_noise_std > 1e-12
+
     def step(ts: SolverTrainState, x: Array, y: Array, key: Array):
-        k_attack, k_afwd, k_fwd = jax.random.split(key, 3)
+        if use_data_noise:
+            k_attack, k_afwd, k_data, k_fwd = jax.random.split(key, 4)
+        else:
+            k_attack, k_afwd, k_fwd = jax.random.split(key, 3)
+            k_data = None
 
         solvers_cur = solvers_from_state(solvers, ts.solver_params)
         x_adv = _run_attack(
             model, ts.params, ts.model_state, solvers_cur, solver_options,
             attack_cfg, x, y, k_attack, k_afwd, remat, unroll,
         )
+
+        if use_data_noise:
+            x_adv = x_adv + loss_cfg.data_noise_std * jax.random.normal(
+                k_data, x_adv.shape, x_adv.dtype
+            )
 
         def loss_fn(params, solver_params):
             solvers_inner = solvers_from_state(solvers, solver_params)
@@ -156,10 +189,8 @@ def make_solver_train_step(
         new_solver_params = optax.apply_updates(ts.solver_params, upd_s)
         if clip_solver_params:
             new_solver_params = type(new_solver_params)(
-                jax.tree_util.tree_map(
-                    lambda p: jnp.clip(p, 1e-3, hi), sp
-                )
-                for sp, hi in zip(new_solver_params, clip_hi)
+                _clip_sp(sp, s, hi)
+                for sp, s, hi in zip(new_solver_params, solvers, clip_hi)
             )
 
         acc = jnp.mean((jnp.argmax(logits, axis=-1) == y).astype(jnp.float32))
