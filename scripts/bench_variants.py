@@ -2,10 +2,14 @@
 """Measure flagship-step variants on the real chip: timing + XLA cost
 analysis (FLOPs, HBM bytes), to attribute the roofline gap.
 
-  python scripts/bench_variants.py <name>
+  python scripts/bench_variants.py <name> [compiler_flag=value ...]
 
 Variants: base (bf16 u8), remat8 (bf16 u8 remat), remat1 (bf16 u1 remat),
-batch512 (bf16 u8 batch 512), f32 (parity policy).
+batch512 (bf16 u8 batch 512), f32 (parity policy), u2/u4/u16 (unroll
+re-tune).  Trailing args are forwarded as XLA compiler options — used
+for the round-3 re-tune of (batch, unroll) under
+xla_tpu_use_bundle_aware_cost_model_for_fusions=true (the knobs were
+originally tuned before that flag existed).
 """
 import json
 import os
@@ -27,10 +31,14 @@ VARIANTS = {
     "remat1": dict(compute_dtype="bf16", unroll=1, remat=True, batch=256),
     "batch512": dict(compute_dtype="bf16", unroll=8, remat=False, batch=512),
     "f32": dict(compute_dtype=None, unroll=8, remat=False, batch=256),
+    "u2": dict(compute_dtype="bf16", unroll=2, remat=False, batch=256),
+    "u4": dict(compute_dtype="bf16", unroll=4, remat=False, batch=256),
+    "u16": dict(compute_dtype="bf16", unroll=16, remat=False, batch=256),
+    "batch128": dict(compute_dtype="bf16", unroll=8, remat=False, batch=128),
 }
 
 
-def main(name):
+def main(name, compiler_options=None):
     cfg = VARIANTS[name]
     from neural_ode_metasolver_tpu.data import CIFAR10_MEAN, CIFAR10_STD
     from neural_ode_metasolver_tpu.models.api import build_model
@@ -61,7 +69,10 @@ def main(name):
     x = jax.random.normal(jax.random.key(1), (batch, 32, 32, 3), jnp.float32)
     y = jax.random.randint(jax.random.key(2), (batch,), 0, 10)
 
-    jstep = jax.jit(step, donate_argnums=(0,))
+    jit_kwargs = {}
+    if compiler_options:
+        jit_kwargs["compiler_options"] = compiler_options
+    jstep = jax.jit(step, donate_argnums=(0,), **jit_kwargs)
     t0 = time.perf_counter()
     lowered = jstep.lower(ts, x, y, jax.random.key(10))
     compiled = lowered.compile()
@@ -85,6 +96,7 @@ def main(name):
 
     print(json.dumps({
         "variant": name, **cfg,
+        "compiler_options": compiler_options or {},
         "step_ms": round(dt * 1e3, 2),
         "img_per_s": round(batch / dt, 1),
         "gflop": round(flops / 1e9, 1),
@@ -96,4 +108,11 @@ def main(name):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "base")
+    # normalizes boolean spellings to the one form both the local PJRT
+    # parser and the remote compile helper accept ("True"/"False")
+    from neural_ode_metasolver_tpu.runners.common import (
+        parse_compiler_options,
+    )
+
+    main(sys.argv[1] if len(sys.argv) > 1 else "base",
+         parse_compiler_options(sys.argv[2:]))
