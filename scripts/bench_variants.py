@@ -35,6 +35,8 @@ VARIANTS = {
     "u4": dict(compute_dtype="bf16", unroll=4, remat=False, batch=256),
     "u16": dict(compute_dtype="bf16", unroll=16, remat=False, batch=256),
     "batch128": dict(compute_dtype="bf16", unroll=8, remat=False, batch=128),
+    "batch64": dict(compute_dtype="bf16", unroll=8, remat=False, batch=64),
+    "batch192": dict(compute_dtype="bf16", unroll=8, remat=False, batch=192),
 }
 
 
