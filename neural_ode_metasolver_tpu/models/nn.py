@@ -355,11 +355,19 @@ def get_activation(key: str) -> Callable[[Array], Array]:
 
     'GeLU' is torch F.gelu default = exact (erf) gelu; 'AF' is
     leaky_relu(negative_slope=1) == identity.
+
+    'GeLUtanh' (no reference counterpart; torch's gelu(approximate='tanh'))
+    is a perf opt-in: the exact erf GELU + its grad are the flagship
+    step's VPU-transcendental hotspot on TPU (SCALING.md round-3
+    attribution), and the tanh form is measurably cheaper there.  Max
+    |diff| vs exact is ~3e-4 around |x|~2 — NOT a parity activation.
     """
     if key == "ReLU":
         return jax.nn.relu
     if key == "GeLU":
         return partial(jax.nn.gelu, approximate=False)
+    if key == "GeLUtanh":
+        return partial(jax.nn.gelu, approximate=True)
     if key == "Softsign":
         return jax.nn.soft_sign
     if key == "Tanh":

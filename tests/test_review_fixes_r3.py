@@ -297,3 +297,30 @@ def test_export_config_reserved_keys_win(tmp_path):
         meta = json.load(f)
     assert meta["input_shape"] == [1, 28, 28, 1]
     assert meta["note"] == "kept"
+
+
+# -- models/nn.py: GeLUtanh perf activation ----------------------------------
+
+
+def test_gelutanh_activation_registered_and_close_to_exact():
+    """'GeLUtanh' (tanh-approx gelu, a TPU perf opt-in with no reference
+    counterpart) must be registered and numerically near the exact-erf
+    'GeLU' (max |diff| ~3e-4, far below bf16 resolution)."""
+    from neural_ode_metasolver_tpu.models.nn import get_activation
+
+    exact = get_activation("GeLU")
+    approx = get_activation("GeLUtanh")
+    x = jnp.linspace(-6.0, 6.0, 4001)
+    diff = float(jnp.max(jnp.abs(exact(x) - approx(x))))
+    assert diff < 5e-4
+    # and it builds into the flagship registry
+    from neural_ode_metasolver_tpu.models.api import build_model
+
+    m = build_model("premetanode10", in_planes=8, acts=("GeLUtanh",) * 3)
+    p, s = m.init(jax.random.key(0))
+    from neural_ode_metasolver_tpu.ops import SolverOptions
+
+    solver = create_solver("rk2", "u", n_steps=2, u0=0.5)
+    logits, _, _ = m.apply(p, s, jnp.zeros((2, 32, 32, 3)), [solver],
+                           SolverOptions())
+    assert logits.shape == (2, 10)
