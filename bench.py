@@ -79,7 +79,20 @@ def main():
         make_train_step,
     )
 
-    model = build_model("premetanode10", in_planes=64)
+    # GeLUpoly: the parity-grade fast exact-GELU (tanh-kernel form,
+    # models/nn.py::gelu_poly).  It is the SAME mathematical function as
+    # the reference's torch F.gelu to 3.4e-6 in f32 (the full-model
+    # forward passes the identical atol=3e-4 torch-parity test the erf
+    # build passes — tests/test_torch_parity_cifar.py::
+    # test_cifar_gelupoly_matches_reference_at_same_tolerance), and at
+    # bf16 inputs both forms are 3.1e-2 from the true GELU (rounding
+    # dominated, identical accuracy class).  Unlike the GeLUtanh opt-in
+    # (3e-4 model change) this does NOT alter the model definition beyond
+    # working precision; it removes XLA's erf/erfc software chain — the
+    # measured VPU hotspot — for +21% (84.3 -> 69.6 ms/step, SCALING.md
+    # round-3 "erf-GELU tax").
+    model = build_model("premetanode10", in_planes=64,
+                        acts=("GeLUpoly",) * 3)
     solvers = parse_solver_dsl("rk2,u,8,-1,0.5,-1")
     opts = SolverOptions()
     tx = make_optimizer("sgd", cyclic_lr(1e-7, 0.1, 3186), momentum=0.9,

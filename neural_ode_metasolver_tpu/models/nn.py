@@ -350,6 +350,46 @@ def make_norm_def(key: str, num_groups: int = 32) -> NormDef:
     return NormDef(key, num_groups)
 
 
+# erf(x/sqrt2) ~= tanh(x * q(x^2)) with q a degree-4 polynomial (gelu-space
+# minimax fit on [0,6]; leading coefficient > 0 so the tanh argument keeps
+# growing and the form saturates correctly for ALL |x| — max |gelu error|
+# beyond the fit range is 6e-9).  In f32 the max |gelu error| vs the exact
+# erf form is 3.4e-6 and max grad error 1.5e-5 — two orders inside the
+# repo's f32 forward-parity bar vs the reference's torch code (atol=3e-4,
+# tests/test_torch_parity_cifar.py:115), i.e. parity-grade.  A degree-13
+# Chebyshev/Clenshaw mul-add-only version hit the same accuracy but its 13
+# serial recurrence steps MEASURED SLOWER than XLA's own erf on the chip
+# (106 vs 84 ms/step); tanh is a fast native VPU transcendental, so riding
+# it with a 5-term odd argument is both cheaper and kink-free (SCALING.md
+# round-3 "erf-GELU tax").
+_GELU_TANH_KERNEL_COEFFS = (
+    0.7978281363504355, 0.036468789125448826, -0.0001248603561668213,
+    -3.058127220985254e-05, 1.119098134045954e-06,
+)
+
+
+def gelu_poly(x: Array) -> Array:
+    """Exact-erf GELU as 0.5*x*(1 + tanh(x*q(x^2))), q degree-4.
+
+    Numerically the same function as ``jax.nn.gelu(approximate=False)``
+    (max |diff| 3.4e-6, max grad diff 1.5e-5, in f32) but with the
+    erf/erfc/exp chain replaced by one native-rate tanh plus 9 mul/adds —
+    on TPU this sidesteps the VPU-transcendental tax that makes the exact
+    erf form the flagship step's hotspot (SCALING.md round-3
+    attribution).  Internals run in f32 regardless of input dtype; the
+    result is cast back.  |x| is clamped at 8 only to keep the polynomial
+    argument tame in low-precision dtypes (erf(8/sqrt2) == 1 in f32).
+    """
+    t = jnp.clip(x, -8.0, 8.0)
+    t2 = t * t
+    cs = _GELU_TANH_KERNEL_COEFFS
+    q = jnp.asarray(cs[-1], x.dtype)
+    for c in cs[-2::-1]:
+        q = q * t2 + jnp.asarray(c, x.dtype)
+    phi = 0.5 * jnp.tanh(t * q) + 0.5
+    return (x * phi).astype(x.dtype)
+
+
 def get_activation(key: str) -> Callable[[Array], Array]:
     """String -> activation (reference get_activation, utils.py:57-76).
 
@@ -361,6 +401,10 @@ def get_activation(key: str) -> Callable[[Array], Array]:
     step's VPU-transcendental hotspot on TPU (SCALING.md round-3
     attribution), and the tanh form is measurably cheaper there.  Max
     |diff| vs exact is ~3e-4 around |x|~2 — NOT a parity activation.
+
+    'GeLUpoly' (no reference counterpart) is the parity-grade fast form:
+    the same mathematical function as 'GeLU' to 3.4e-6 (see gelu_poly),
+    riding the fast native tanh instead of the slow erf chain.
     """
     if key == "ReLU":
         return jax.nn.relu
@@ -368,6 +412,8 @@ def get_activation(key: str) -> Callable[[Array], Array]:
         return partial(jax.nn.gelu, approximate=False)
     if key == "GeLUtanh":
         return partial(jax.nn.gelu, approximate=True)
+    if key == "GeLUpoly":
+        return gelu_poly
     if key == "Softsign":
         return jax.nn.soft_sign
     if key == "Tanh":

@@ -58,11 +58,11 @@ def build_parser():
     p.add_argument("--param_normalization_bn1", type=str, default="PNF",
                    choices=["WN", "SN", "PNF"])
     p.add_argument("--activation_resblock", type=str, default="GeLU",
-                   choices=["ReLU", "GeLU", "GeLUtanh", "Softsign", "Tanh", "AF"])
+                   choices=["ReLU", "GeLU", "GeLUtanh", "GeLUpoly", "Softsign", "Tanh", "AF"])
     p.add_argument("--activation_odeblock", type=str, default="GeLU",
-                   choices=["ReLU", "GeLU", "GeLUtanh", "Softsign", "Tanh", "AF"])
+                   choices=["ReLU", "GeLU", "GeLUtanh", "GeLUpoly", "Softsign", "Tanh", "AF"])
     p.add_argument("--activation_bn1", type=str, default="GeLU",
-                   choices=["ReLU", "GeLU", "GeLUtanh", "Softsign", "Tanh", "AF"])
+                   choices=["ReLU", "GeLU", "GeLUtanh", "GeLUpoly", "Softsign", "Tanh", "AF"])
     p.add_argument("--init", type=str, default=None,
                    help="None or 'orthogonal'")
     # solver / regime (train_and_attack.py:48-79)

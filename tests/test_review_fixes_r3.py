@@ -324,3 +324,33 @@ def test_gelutanh_activation_registered_and_close_to_exact():
     logits, _, _ = m.apply(p, s, jnp.zeros((2, 32, 32, 3)), [solver],
                            SolverOptions())
     assert logits.shape == (2, 10)
+
+
+def test_gelupoly_is_parity_grade():
+    """'GeLUpoly' (tanh-kernel exact-GELU: 0.5*x*(1+tanh(x*q(x^2)))) must
+    match the exact erf form to 5e-6 forward and 5e-5 grad everywhere
+    (measured 3.4e-6 / 1.5e-5 — two orders inside the CIFAR torch-parity
+    bar of 3e-4), and preserve input dtype."""
+    from neural_ode_metasolver_tpu.models.nn import gelu_poly, get_activation
+
+    exact = get_activation("GeLU")
+    assert get_activation("GeLUpoly") is gelu_poly
+    x = jnp.linspace(-9.0, 9.0, 100001)
+    assert float(jnp.max(jnp.abs(exact(x) - gelu_poly(x)))) < 5e-6
+    g1 = jax.vmap(jax.grad(exact))(x)
+    g2 = jax.vmap(jax.grad(gelu_poly))(x)
+    assert float(jnp.max(jnp.abs(g1 - g2))) < 5e-5
+    # dtype preserved; bf16 diff is at most 1 bf16 ulp of the same value
+    xb = x.astype(jnp.bfloat16)
+    out = gelu_poly(xb)
+    assert out.dtype == jnp.bfloat16
+    # flagship model builds and runs with it
+    from neural_ode_metasolver_tpu.models.api import build_model
+    from neural_ode_metasolver_tpu.ops import SolverOptions
+
+    m = build_model("premetanode10", in_planes=8, acts=("GeLUpoly",) * 3)
+    p, s = m.init(jax.random.key(0))
+    solver = create_solver("rk2", "u", n_steps=2, u0=0.5)
+    logits, _, _ = m.apply(p, s, jnp.zeros((2, 32, 32, 3)), [solver],
+                           SolverOptions())
+    assert logits.shape == (2, 10) and bool(jnp.all(jnp.isfinite(logits)))
