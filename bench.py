@@ -84,7 +84,7 @@ def main():
     # the reference's torch F.gelu to 3.4e-6 in f32 (the full-model
     # forward passes the identical atol=3e-4 torch-parity test the erf
     # build passes — tests/test_torch_parity_cifar.py::
-    # test_cifar_gelupoly_matches_reference_at_same_tolerance), and at
+    # test_cifar_torch_import_against_reference_model[gelupoly]), and at
     # bf16 inputs both forms are 3.1e-2 from the true GELU (rounding
     # dominated, identical accuracy class).  Unlike the GeLUtanh opt-in
     # (3e-4 model change) this does NOT alter the model definition beyond

@@ -12,7 +12,11 @@ Timing per SCALING.md methodology: chained dispatch of N calls, then one
 host transfer to drain the stream; artifact inputs are device arrays (no
 per-call upload).
 
-  python scripts/bench_serving.py [batch]
+  python scripts/bench_serving.py [batch] [acts]
+
+``acts`` (default GeLU) lets the serving measurement ride the activation
+registry — e.g. GeLUpoly (parity-grade fast exact GELU, SCALING.md
+"erf-GELU tax") or GeLUtanh.
 """
 import json
 import os
@@ -42,13 +46,13 @@ def _time_fn(fn, x, n=N_CALLS):
     return (time.perf_counter() - t0) / n
 
 
-def main(batch=256):
+def main(batch=256, acts="GeLU"):
     from neural_ode_metasolver_tpu.models.api import build_model
     from neural_ode_metasolver_tpu.ops import SolverOptions, parse_solver_dsl
     from neural_ode_metasolver_tpu.serving import export_model, load_model
     from neural_ode_metasolver_tpu.training.train import _cast_model
 
-    model = build_model("premetanode10", in_planes=64)
+    model = build_model("premetanode10", in_planes=64, acts=(acts,) * 3)
     solvers = parse_solver_dsl("rk2,u,8,-1,0.5,-1")
     opts = SolverOptions()
     params, state = model.init(jax.random.key(0))
@@ -81,8 +85,10 @@ def main(batch=256):
                          "img_per_s": round(batch / dt, 1)})
             print(json.dumps(rows[-1]), flush=True)
 
-    print(json.dumps({"batch": batch, "n_calls": N_CALLS, "rows": rows}))
+    print(json.dumps({"batch": batch, "acts": acts, "n_calls": N_CALLS,
+                      "rows": rows}))
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 256)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 256,
+         sys.argv[2] if len(sys.argv) > 2 else "GeLU")

@@ -40,7 +40,11 @@ VARIANTS = {
 }
 
 
-def main(name, compiler_options=None):
+def main(name, compiler_options=None, acts="GeLUpoly"):
+    # acts default = the shipped bench.py flagship (GeLUpoly since the
+    # round-3 erf-GELU recovery); pass GELU_ACTS=... to tune a different
+    # activation's program — variant sweeps must measure the program
+    # bench.py actually ships
     cfg = VARIANTS[name]
     from neural_ode_metasolver_tpu.data import CIFAR10_MEAN, CIFAR10_STD
     from neural_ode_metasolver_tpu.models.api import build_model
@@ -51,7 +55,7 @@ def main(name, compiler_options=None):
     )
 
     batch = cfg["batch"]
-    model = build_model("premetanode10", in_planes=64)
+    model = build_model("premetanode10", in_planes=64, acts=(acts,) * 3)
     solvers = parse_solver_dsl("rk2,u,8,-1,0.5,-1")
     tx = make_optimizer("sgd", cyclic_lr(1e-7, 0.1, 3186), momentum=0.9,
                         weight_decay=5e-4)
@@ -97,7 +101,7 @@ def main(name, compiler_options=None):
     dt = (time.perf_counter() - t0) / STEPS
 
     print(json.dumps({
-        "variant": name, **cfg,
+        "variant": name, "acts": acts, **cfg,
         "compiler_options": compiler_options or {},
         "step_ms": round(dt * 1e3, 2),
         "img_per_s": round(batch / dt, 1),
@@ -117,4 +121,5 @@ if __name__ == "__main__":
     )
 
     main(sys.argv[1] if len(sys.argv) > 1 else "base",
-         parse_compiler_options(sys.argv[2:]))
+         parse_compiler_options(sys.argv[2:]),
+         acts=os.environ.get("GELU_ACTS", "GeLUpoly"))

@@ -340,10 +340,14 @@ def test_gelupoly_is_parity_grade():
     g1 = jax.vmap(jax.grad(exact))(x)
     g2 = jax.vmap(jax.grad(gelu_poly))(x)
     assert float(jnp.max(jnp.abs(g1 - g2))) < 5e-5
-    # dtype preserved; bf16 diff is at most 1 bf16 ulp of the same value
+    # dtype preserved, and the bf16 accuracy class is pinned: vs the
+    # exact form evaluated at the same bf16 points the diff stays within
+    # 2 bf16 ulps at |x|<=9 (measured 1.6e-2; ulp at 8 is 6.25e-2)
     xb = x.astype(jnp.bfloat16)
     out = gelu_poly(xb)
     assert out.dtype == jnp.bfloat16
+    exact_b = exact(xb).astype(jnp.float32)
+    assert float(jnp.max(jnp.abs(exact_b - out.astype(jnp.float32)))) < 0.04
     # flagship model builds and runs with it
     from neural_ode_metasolver_tpu.models.api import build_model
     from neural_ode_metasolver_tpu.ops import SolverOptions

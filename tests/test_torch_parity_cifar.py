@@ -122,76 +122,23 @@ REFERENCE_ROOT = "/root/reference"
     not __import__("os").path.isdir(REFERENCE_ROOT),
     reason="reference not available",
 )
-def test_cifar_torch_import_against_reference_model():
-    """cifar_params_from_torch_state_dict: weights from the ACTUAL
-    reference premetanode10 (NF/PNF/GeLU flagship config), driven with the
-    reference's own solver classes, must match our forward."""
-    import sys
-    from decimal import Decimal
-
-    if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
-    from sopa.src.models.odenet_cifar10.layers import (
-        premetanode10 as ref_premetanode10,
-    )
-    from sopa.src.models.odenet_cifar10.utils import (
-        get_activation,
-        get_normalization,
-        get_param_normalization,
-    )
-    from sopa.src.solvers.utils import create_solver as ref_create_solver
-
-    from neural_ode_metasolver_tpu.models import (
-        cifar_params_from_torch_state_dict,
-    )
-
-    torch.manual_seed(7)
-    tm = ref_premetanode10(
-        norm_layers=(get_normalization("NF"),) * 3,
-        param_norm_layers=(get_param_normalization("PNF"),) * 3,
-        act_layers=(get_activation("GeLU"),) * 3,
-        in_planes=64,
-    )
-    tm.eval()
-    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
-    params = cifar_params_from_torch_state_dict(sd)
-
-    cfg = premetanode10(in_planes=64)
-    _, state = init_cifar(jax.random.key(0), cfg)
-
-    rs = ref_create_solver(
-        "rk2", "u", n_steps=8, step_size=-1,
-        u0=Decimal("0.5"), v0=Decimal("-1"),
-        dtype=torch.float32, device="cpu",
-    )
-    rs.freeze_params()
-
-    class Opt:
-        solver_mode = "standalone"
-        switch_probs = None
-
-    x = np.random.RandomState(3).rand(4, 32, 32, 3).astype(np.float32)
-    solver = create_solver("rk2", "u", n_steps=8, u0=0.5)
-    logits, _, _ = apply_cifar(
-        params, state, jnp.asarray(x), [solver], SolverOptions(), cfg=cfg
-    )
-    with torch.no_grad():
-        t_logits = tm(
-            torch.tensor(x.transpose(0, 3, 1, 2)),
-            solvers=[rs], solver_options=Opt(),
-        ).numpy()
-    np.testing.assert_allclose(np.asarray(logits), t_logits, atol=3e-4)
-
-
-@pytest.mark.skipif(
-    not __import__("os").path.isdir(REFERENCE_ROOT),
-    reason="reference not available",
+@pytest.mark.parametrize(
+    "torch_seed,x_seed,acts",
+    [
+        # weights from the ACTUAL reference premetanode10 (NF/PNF/GeLU
+        # flagship config), driven with the reference's own solver classes
+        (7, 3, ("GeLU",) * 3),
+        # the GeLUpoly fast form must pass the SAME forward-parity bar —
+        # this is what licenses benching the parity workload with GeLUpoly
+        (11, 5, ("GeLUpoly",) * 3),
+    ],
+    ids=["gelu_exact", "gelupoly"],
 )
-def test_cifar_gelupoly_matches_reference_at_same_tolerance():
-    """The GeLUpoly fast form must pass the SAME forward-parity bar as the
-    exact-erf GeLU build: reference premetanode10 (its own torch GeLU and
-    solver classes) vs our model built with acts=GeLUpoly, atol=3e-4.
-    This is what licenses benching the parity workload with GeLUpoly."""
+def test_cifar_torch_import_against_reference_model(torch_seed, x_seed,
+                                                    acts):
+    """cifar_params_from_torch_state_dict: reference-model weights +
+    the reference's own solver classes must match our forward at
+    atol=3e-4, for both the exact-erf build and the GeLUpoly build."""
     import sys
     from decimal import Decimal
 
@@ -211,7 +158,7 @@ def test_cifar_gelupoly_matches_reference_at_same_tolerance():
         cifar_params_from_torch_state_dict,
     )
 
-    torch.manual_seed(11)
+    torch.manual_seed(torch_seed)
     tm = ref_premetanode10(
         norm_layers=(get_normalization("NF"),) * 3,
         param_norm_layers=(get_param_normalization("PNF"),) * 3,
@@ -222,7 +169,7 @@ def test_cifar_gelupoly_matches_reference_at_same_tolerance():
     sd = {k: v.numpy() for k, v in tm.state_dict().items()}
     params = cifar_params_from_torch_state_dict(sd)
 
-    cfg = premetanode10(in_planes=64, acts=("GeLUpoly",) * 3)
+    cfg = premetanode10(in_planes=64, acts=acts)
     _, state = init_cifar(jax.random.key(0), cfg)
 
     rs = ref_create_solver(
@@ -236,7 +183,7 @@ def test_cifar_gelupoly_matches_reference_at_same_tolerance():
         solver_mode = "standalone"
         switch_probs = None
 
-    x = np.random.RandomState(5).rand(4, 32, 32, 3).astype(np.float32)
+    x = np.random.RandomState(x_seed).rand(4, 32, 32, 3).astype(np.float32)
     solver = create_solver("rk2", "u", n_steps=8, u0=0.5)
     logits, _, _ = apply_cifar(
         params, state, jnp.asarray(x), [solver], SolverOptions(), cfg=cfg
