@@ -69,11 +69,19 @@ def make_time_grid(
             "points depends on their values, which jit cannot trace); "
             "use n_steps or a precomputed time_grid inside jit"
         ) from e
-    n_points = int(math.ceil((t1 - t0) / step_size + 1))
-    grid = jnp.arange(n_points, dtype=dtype) * step_size + t0
+    if step_size <= 0:
+        raise ValueError(f"step_size must be positive, got {step_size}")
+    # sign-aware span: step_size is a magnitude, the direction comes from
+    # (t1 - t0), so backward-time spans (t1 < t0) build a descending grid
+    # instead of the empty arange a signed ceil would produce (which made
+    # scan a silent no-op)
+    direction = 1.0 if t1 >= t0 else -1.0
+    n_points = int(math.ceil(abs(t1 - t0) / step_size + 1))
+    grid = jnp.arange(n_points, dtype=dtype) * (direction * step_size) + t0
     # Clamp the final point to t1 (rk_parametric.py:31-32).
+    clamped = jnp.minimum(grid, t1) if direction > 0 else jnp.maximum(grid, t1)
     return jnp.where(
-        jnp.arange(n_points) == n_points - 1, jnp.minimum(grid, t1), grid
+        jnp.arange(n_points) == n_points - 1, clamped, grid
     ).astype(dtype)
 
 
@@ -250,6 +258,10 @@ def odeint(
                 t[0], t[-1],
                 n_steps=n_steps, step_size=step_size, dtype=t.dtype,
             )
+            # a self-built grid spans only [t[0], t[-1]]; interior
+            # requested times outside that span (non-monotonic t) would
+            # silently extrapolate just like an explicit grid would
+            _check_grid_spans(time_grid, t)
     else:
         time_grid = jnp.asarray(time_grid, t.dtype)
         _check_grid_spans(time_grid, t)

@@ -540,7 +540,9 @@ def fit(
                 from ..training import make_adversarial_predict
 
                 predict_cache["adv_predict"] = make_adversarial_predict(
-                    model, solvers, solver_options, test_attack
+                    model, solvers, solver_options, test_attack,
+                    remat=getattr(args, "remat", False),
+                    unroll=getattr(args, "unroll", 1),
                 )
             adv_acc = adversarial_accuracy(
                 model, ts.params, ts.model_state, solvers, solver_options,

@@ -94,6 +94,9 @@ def make_adversarial_predict(
     solvers: Sequence[ParametricSolver],
     solver_options: SolverOptions,
     attack_cfg: AttackConfig,
+    *,
+    remat: bool = False,
+    unroll: int = 1,
 ):
     """Build the jitted attack->forward evaluator once; pass it to
     ``adversarial_accuracy(..., predict=...)`` to reuse the compiled
@@ -102,13 +105,16 @@ def make_adversarial_predict(
 
     Attack dispatch is shared with the train step (``_run_attack``), so
     every train mode — clean / fgsm / fgsm_random / at — evaluates with
-    the same AttackConfig it was trained with."""
+    the same AttackConfig it was trained with.  ``remat``/``unroll``
+    shape the attack's input-gradient graph exactly as in
+    ``make_train_step`` — a config that needed rematerialization to fit
+    training must be able to fit its adversarial eval too."""
 
     @jax.jit
     def attacked_logits(params, state, x, y, k_attack, k_fwd):
         xa = _run_attack(
             model, params, state, solvers, solver_options, attack_cfg,
-            x, y, k_attack, k_fwd, False, 1,
+            x, y, k_attack, k_fwd, remat, unroll,
         )
         logits, _, _ = model.apply(
             params, state, xa, solvers, solver_options,
@@ -129,14 +135,19 @@ def adversarial_accuracy(
     attack_cfg: AttackConfig,
     key: Array,
     predict=None,
+    *,
+    remat: bool = False,
+    unroll: int = 1,
 ) -> float:
     """Attack every batch, then no-grad forward (train_and_attack.py:212-243).
 
     ``predict`` (from :func:`make_adversarial_predict`) may be passed in to
-    reuse the compiled attack+forward across epochs."""
+    reuse the compiled attack+forward across epochs; otherwise
+    ``remat``/``unroll`` shape the one built here."""
     if predict is None:
         predict = make_adversarial_predict(
-            model, solvers, solver_options, attack_cfg
+            model, solvers, solver_options, attack_cfg,
+            remat=remat, unroll=unroll,
         )
 
     def batch_scores(x, y):

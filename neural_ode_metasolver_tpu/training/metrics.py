@@ -39,16 +39,24 @@ class RunningAverageMeter:
 
 
 def nfe_per_solve(solver: ParametricSolver, t0=0.0, t1=1.0) -> int:
-    """RHS evaluations for one ODE solve."""
+    """RHS evaluations for one ODE solve.
+
+    Grid-source priority matches ``ParametricSolver.time_grid`` exactly
+    (custom_grid overrides n_steps/step_size), and the step_size count is
+    derived from the real ``make_time_grid`` rather than a re-implemented
+    formula, so the reported NFE always describes the solve that actually
+    executes.
+    """
     stages = _STAGES[solver.method]
-    if solver.n_steps is not None:
+    if getattr(solver, "custom_grid", None) is not None:
+        n = len(solver.custom_grid) - 1
+    elif solver.n_steps is not None:
         n = solver.n_steps
     elif solver.step_size is not None:
-        import math
+        from ..ops.integrate import make_time_grid
 
-        n = int(math.ceil((t1 - t0) / solver.step_size + 1)) - 1
-    elif getattr(solver, "custom_grid", None) is not None:
-        n = len(solver.custom_grid) - 1
+        n = int(make_time_grid(t0, t1, step_size=solver.step_size).shape[0]
+                ) - 1
     else:
         n = 1
     return stages * n

@@ -124,20 +124,25 @@ def make_solver_train_step(
     # width validity_eps around it (ops/tableau.py:195-199), where
     # d(tableau)/du is exactly zero.  2e-3 > validity_eps(f32) = f16 eps, so
     # pushing u to the nearest band edge keeps the gradient alive.
+    # rk3 has a pole at u=2/3 (w32 = v(v-u)/(u(2-3u)), ops/tableau.py) with
+    # NO saturating clamp in the tableau itself — coefficients explode
+    # continuously as u -> 2/3, so a trained u drifting there produces
+    # inf/NaN stage couplings; keep it a band away too.
     _POLE_BAND = 2e-3
+
+    def _keep_off_pole(u, pole):
+        return jnp.where(
+            jnp.abs(u - pole) < _POLE_BAND,
+            jnp.where(u < pole, pole - _POLE_BAND, pole + _POLE_BAND),
+            u,
+        )
 
     def _clip_sp(sp, s, hi):
         sp = jax.tree_util.tree_map(lambda p: jnp.clip(p, 1e-3, hi), sp)
         if s.method == "rk4" and s.parameterization == "uv":
-            u = sp["u"]
-            sp = dict(
-                sp,
-                u=jnp.where(
-                    jnp.abs(u - 0.5) < _POLE_BAND,
-                    jnp.where(u < 0.5, 0.5 - _POLE_BAND, 0.5 + _POLE_BAND),
-                    u,
-                ),
-            )
+            sp = dict(sp, u=_keep_off_pole(sp["u"], 0.5))
+        if s.method == "rk3" and "u" in sp:
+            sp = dict(sp, u=_keep_off_pole(sp["u"], 2.0 / 3.0))
         return sp
 
     # only widen the key split when data noise is on, so existing
