@@ -377,7 +377,9 @@ def _meta_layer_apply(
                 solvers, rhs_ss, x, solver_options, None,
                 t0=1.0, t1=2.0, aux_in=aux, remat=remat, unroll=unroll,
             )
-            diff = (z - x).reshape(x.shape[0], -1)
+            # f32 reduction: the squared-sum over ~HW*C elements loses
+            # mantissa badly in bf16 (torch reference reduces in f32)
+            diff = (z - x).reshape(x.shape[0], -1).astype(jnp.float32)
             ss_total = ss_total + jnp.mean(
                 jnp.linalg.norm(diff, axis=1)
             ).astype(ss_total.dtype)

@@ -236,7 +236,8 @@ def apply_mnist(
                     t0=1.0, t1=2.0, aux_in=aux,
                     remat=remat, unroll=unroll,
                 )
-                diff = (z - x).reshape(x.shape[0], -1)
+                # f32 reduction (same rationale as the CIFAR ss-loss path)
+                diff = (z - x).reshape(x.shape[0], -1).astype(jnp.float32)
                 ss_total = ss_total + jnp.mean(
                     jnp.linalg.norm(diff, axis=1)
                 ).astype(ss_total.dtype)

@@ -39,9 +39,14 @@ def _arr(sd: Mapping[str, Any], name: str) -> np.ndarray:
     return np.asarray(sd[name], dtype=np.float32)
 
 
+def _oihw_to_hwio(arr):
+    """torch Conv2d weight (O, I, H, W) -> JAX kernel (H, W, I, O) — the
+    ONE place the conv layout conversion lives (both importers use it)."""
+    return jnp.asarray(arr.transpose(2, 3, 1, 0))
+
+
 def _conv(sd, prefix):
-    # torch Conv2d weight (O, I, H, W) -> JAX kernel (H, W, I, O)
-    out = {"kernel": jnp.asarray(_arr(sd, prefix + ".weight").transpose(2, 3, 1, 0))}
+    out = {"kernel": _oihw_to_hwio(_arr(sd, prefix + ".weight"))}
     if prefix + ".bias" in sd:
         out["bias"] = jnp.asarray(_arr(sd, prefix + ".bias"))
     return out
@@ -94,9 +99,7 @@ def cifar_params_from_torch_state_dict(sd: Mapping[str, Any],
     for name, v in sd.items():
         arr = np.asarray(v, dtype=np.float32)
         if name == "conv1.weight":
-            out.setdefault("conv1", {})["kernel"] = jnp.asarray(
-                arr.transpose(2, 3, 1, 0)
-            )
+            out.setdefault("conv1", {})["kernel"] = _oihw_to_hwio(arr)
             continue
         m = re.fullmatch(
             r"layer(\d+)\.blocks_(res|ode)\.(\d+)\."
@@ -107,7 +110,7 @@ def cifar_params_from_torch_state_dict(sd: Mapping[str, Any],
             layer, kind, idx, ci = m.groups()
             blocks = out.setdefault(f"layer{layer}", {}).setdefault(kind, {})
             blocks.setdefault(int(idx), {})[f"conv{ci}"] = {
-                "kernel": jnp.asarray(arr.transpose(2, 3, 1, 0))
+                "kernel": _oihw_to_hwio(arr)
             }
             continue
         m = re.fullmatch(
@@ -117,7 +120,7 @@ def cifar_params_from_torch_state_dict(sd: Mapping[str, Any],
             layer, idx = m.groups()
             blocks = out.setdefault(f"layer{layer}", {}).setdefault("res", {})
             blocks.setdefault(int(idx), {})["sc_conv"] = {
-                "kernel": jnp.asarray(arr.transpose(2, 3, 1, 0))
+                "kernel": _oihw_to_hwio(arr)
             }
             continue
         m = re.fullmatch(r"fc_layers\.\d+\.(weight|bias)", name)

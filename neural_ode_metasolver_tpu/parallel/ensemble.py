@@ -29,6 +29,15 @@ __all__ = ["stack_solver_params", "ensemble_integrate"]
 def stack_solver_params(solvers: Sequence[ParametricSolver]):
     """Stack a homogeneous solver list's (u, v) into arrays of shape (n,)."""
     ref = solvers[0]
+    if ref.u is None:
+        # euler has no solver parameters (u=v=None, quirk 13): there is
+        # nothing to vmap over and _tableau_from has no euler branch —
+        # fail here with a clear message instead of a vmap axis error
+        raise ValueError(
+            f"ensemble_integrate needs a parametric solver family "
+            f"(rk2/rk3/rk4); {ref.method!r} members are all identical — "
+            "a member-sharded ensemble of them is a no-op"
+        )
     for s in solvers[1:]:
         if (
             s.method != ref.method

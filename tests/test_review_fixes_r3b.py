@@ -141,6 +141,45 @@ def test_nfe_per_solve_step_size_counts_real_grid():
     assert nfe_per_solve(s) == 2 * expected_steps
 
 
+# -- models: ss-loss reduction runs in f32 under bf16 compute ----------------
+
+
+def test_ss_loss_reduction_is_f32_under_bf16():
+    """The ||z-x|| reduction over ~HW*C elements must upcast to f32: under
+    a bf16 compute policy the bf16-accumulated value drifts far from the
+    f32 semantics the reference (torch) uses."""
+    from neural_ode_metasolver_tpu.models.api import build_model
+
+    model = build_model("premetanode10", in_planes=8)
+    params, state = model.init(jax.random.key(0))
+    solver = create_solver("rk2", "u", n_steps=2, u0=0.5)
+    x32 = jnp.asarray(np.random.RandomState(0).rand(4, 32, 32, 3),
+                      jnp.float32)
+
+    def ss_of(x):
+        _, _, aux = model.apply(params, state, x, [solver], SolverOptions(),
+                                ss_loss=True)
+        return float(aux["ss_loss"])
+
+    ss_f32 = ss_of(x32)
+    ss_bf16 = ss_of(x32.astype(jnp.bfloat16))
+    assert ss_f32 > 0
+    # bf16 ACTIVATIONS still differ slightly, but with the f32 reduction
+    # the relative gap stays small; a bf16-accumulated norm drifts percent+
+    assert abs(ss_bf16 - ss_f32) / ss_f32 < 0.02, (ss_bf16, ss_f32)
+
+
+# -- parallel/ensemble.py: euler ensembles rejected clearly -------------------
+
+
+def test_ensemble_integrate_rejects_euler_with_clear_error():
+    from neural_ode_metasolver_tpu.parallel.ensemble import ensemble_integrate
+
+    solvers = [create_solver("euler", "u", n_steps=4) for _ in range(2)]
+    with pytest.raises(ValueError, match="parametric solver family"):
+        ensemble_integrate(solvers, _rhs, jnp.ones((2, 3)))
+
+
 # -- training/evaluate.py: remat/unroll reach adversarial eval ---------------
 
 
