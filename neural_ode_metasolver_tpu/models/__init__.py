@@ -5,6 +5,13 @@ from .torch_import import (
     cifar_params_from_torch_state_dict,
     mnist_params_from_torch_state_dict,
 )
+from .torch_export import (
+    cifar_state_dict_from_params,
+    mnist_state_dict_from_params,
+    reference_wandb_config,
+    save_cifar_reference_checkpoint,
+    save_mnist_reference_checkpoint,
+)
 from .odenet_cifar10 import (
     CifarConfig,
     MODEL_REGISTRY,
@@ -29,6 +36,11 @@ __all__ = [
     "init_mnist",
     "cifar_params_from_torch_state_dict",
     "mnist_params_from_torch_state_dict",
+    "cifar_state_dict_from_params",
+    "mnist_state_dict_from_params",
+    "reference_wandb_config",
+    "save_cifar_reference_checkpoint",
+    "save_mnist_reference_checkpoint",
     "CifarConfig",
     "MODEL_REGISTRY",
     "apply_cifar",
