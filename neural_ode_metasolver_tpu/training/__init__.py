@@ -45,8 +45,24 @@ from .train import (
     make_eval_step,
     make_train_step,
 )
+from .fleet import (
+    create_fleet_state,
+    fleet_keys,
+    fleet_member,
+    make_fleet_eval_step,
+    make_fleet_train_step,
+    stack_fleet_solvers,
+    tile_fleet,
+)
 
 __all__ = [
+    "create_fleet_state",
+    "fleet_keys",
+    "fleet_member",
+    "make_fleet_eval_step",
+    "make_fleet_train_step",
+    "stack_fleet_solvers",
+    "tile_fleet",
     "SolverTrainState",
     "create_solver_train_state",
     "make_solver_train_step",

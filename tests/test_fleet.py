@@ -1,0 +1,218 @@
+"""Fleet (vmapped multi-seed) training tests: member-for-member parity with
+the single-run step, per-member dynamic solvers (u-sweep as one program),
+mesh sharding of the fleet axis, and the fleet eval kernel vs the accuracy
+harnesses."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from neural_ode_metasolver_tpu.data import batch_iterator, synthetic_dataset
+from neural_ode_metasolver_tpu.models.api import build_model
+from neural_ode_metasolver_tpu.ops import SolverOptions, create_solver
+from neural_ode_metasolver_tpu.training import (
+    AttackConfig,
+    NoiseConfig,
+    accuracy,
+    adversarial_accuracy,
+    create_fleet_state,
+    create_train_state,
+    fleet_keys,
+    fleet_member,
+    make_adversarial_predict,
+    make_fleet_eval_step,
+    make_fleet_train_step,
+    make_optimizer,
+    make_train_step,
+    stack_fleet_solvers,
+    tile_fleet,
+)
+
+SOLVERS = [create_solver("rk2", "u", n_steps=2, u0=0.5)]
+OPTS = SolverOptions()
+
+
+def tiny_model():
+    return build_model("mnist", dim=8)
+
+
+def member_batches(n_members, bs=8, shape=(28, 28, 1)):
+    """Per-member batches stacked to (S, B, ...) — each member gets its own
+    data, like per-seed batch orders in a campaign."""
+    xs, ys = [], []
+    for i in range(n_members):
+        ds = synthetic_dataset(bs, shape, seed=100 + i)
+        x, y = next(iter(batch_iterator(ds, bs, seed=i)))
+        xs.append(jnp.asarray(x))
+        ys.append(jnp.asarray(y))
+    return jnp.stack(xs), jnp.stack(ys)
+
+
+def tree_allclose(a, b, rtol=2e-5, atol=1e-6):
+    for la, lb in zip(jax.tree_util.tree_leaves(a),
+                      jax.tree_util.tree_leaves(b)):
+        np.testing.assert_allclose(np.asarray(la, np.float64),
+                                   np.asarray(lb, np.float64),
+                                   rtol=rtol, atol=atol)
+
+
+def test_fleet_keys_match_single_run_roots():
+    keys = fleet_keys([3, 7, 42])
+    assert keys.shape == (3,)
+    for i, s in enumerate([3, 7, 42]):
+        np.testing.assert_array_equal(
+            jax.random.key_data(keys[i]),
+            jax.random.key_data(jax.random.key(s)),
+        )
+
+
+def test_create_fleet_state_members_match_single():
+    model = tiny_model()
+    tx = make_optimizer("sgd", 0.05, momentum=0.9)
+    fts = create_fleet_state(model, tx, [1, 2])
+    for i, s in enumerate([1, 2]):
+        single = create_train_state(model, tx, jax.random.key(s))
+        tree_allclose(fleet_member(fts.params, i), single.params,
+                      rtol=0, atol=0)
+
+
+def test_fleet_step_matches_per_member_loop():
+    """The flagship-recipe step (fgsm_random attack + smoothing noise)
+    vmapped over 3 members reproduces each member's single-run step."""
+    model = tiny_model()
+    tx = make_optimizer("sgd", 0.05, momentum=0.9, weight_decay=5e-4)
+    attack = AttackConfig(mode="fgsm_random", eps=8 / 255, alpha=10 / 255)
+    noise = NoiseConfig(noise_type="normal", sigma=0.0125, prob=1.0)
+
+    fstep = make_fleet_train_step(model, tx, SOLVERS, OPTS, attack, noise,
+                                  donate=False)
+    sstep = make_train_step(model, tx, SOLVERS, OPTS, attack, noise,
+                            jit_compile=False)
+
+    seeds = [1, 2, 3]
+    fts = create_fleet_state(model, tx, seeds)
+    x, y = member_batches(len(seeds))
+    keys = fleet_keys([10 + s for s in seeds])
+
+    # two fleet steps
+    f1, m1 = fstep(fts, x, y, keys)
+    keys2 = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
+    f2, m2 = fstep(f1, x, y, keys2)
+
+    for i, s in enumerate(seeds):
+        ts = create_train_state(model, tx, jax.random.key(s))
+        ts, sm1 = sstep(ts, x[i], y[i], jax.random.key(10 + s))
+        ts, sm2 = sstep(ts, x[i], y[i],
+                        jax.random.split(jax.random.key(10 + s))[0])
+        np.testing.assert_allclose(float(m1["loss"][i]), float(sm1["loss"]),
+                                   rtol=2e-5)
+        np.testing.assert_allclose(float(m2["loss"][i]), float(sm2["loss"]),
+                                   rtol=2e-5)
+        tree_allclose(fleet_member(f2.params, i), ts.params,
+                      rtol=5e-5, atol=5e-7)
+
+
+def test_fleet_dynamic_solvers_usweep_one_program():
+    """Per-member solver coefficients: a u-sweep trains as ONE vmapped
+    program and matches each u's single run."""
+    model = tiny_model()
+    tx = make_optimizer("rmsprop", 1e-3)
+    us = [0.3, 0.5, 0.9]
+    member_solvers = [[create_solver("rk2", "u", n_steps=2, u0=u)]
+                      for u in us]
+    stacked = stack_fleet_solvers(member_solvers)
+    assert stacked[0].u.shape == (3,)
+
+    fstep = make_fleet_train_step(model, tx, SOLVERS, OPTS, donate=False)
+    sstep = make_train_step(model, tx, SOLVERS, OPTS, jit_compile=False)
+
+    fts = create_fleet_state(model, tx, [5, 5, 5])
+    x0, y0 = member_batches(1)
+    x, y = tile_fleet(x0[0], 3), tile_fleet(y0[0], 3)
+    keys = fleet_keys([77, 77, 77])
+
+    _, fm = fstep(fts, x, y, keys, stacked)
+    losses = np.asarray(fm["loss"])
+    assert len(set(np.round(losses, 10))) == 3  # u actually differs
+    for i, ms in enumerate(member_solvers):
+        ts = create_train_state(model, tx, jax.random.key(5))
+        _, sm = sstep(ts, x0[0], y0[0], jax.random.key(77), ms)
+        np.testing.assert_allclose(losses[i], float(sm["loss"]), rtol=2e-5)
+
+
+def test_fleet_shards_over_mesh():
+    """The fleet axis lays out on a mesh with no semantic change: an
+    8-member fleet sharded one-member-per-device matches the unsharded
+    fleet run."""
+    model = tiny_model()
+    tx = make_optimizer("sgd", 0.05)
+    fstep = make_fleet_train_step(model, tx, SOLVERS, OPTS, donate=False)
+
+    seeds = list(range(8))
+    fts = create_fleet_state(model, tx, seeds)
+    x, y = member_batches(8, bs=4)
+    keys = fleet_keys(seeds)
+
+    _, m_ref = fstep(fts, x, y, keys)
+
+    mesh = Mesh(np.array(jax.devices()), ("fleet",))
+    sh = NamedSharding(mesh, P("fleet"))
+    put = lambda t: jax.tree_util.tree_map(  # noqa: E731
+        lambda l: jax.device_put(l, sh), t)
+    f1, m_sh = fstep(put(fts), put(x), put(y), put(keys))
+
+    np.testing.assert_allclose(np.asarray(m_sh["loss"]),
+                               np.asarray(m_ref["loss"]), rtol=2e-5)
+    # params of member 3 live where member 3 was computed but equal the
+    # unsharded result
+    _, m_ref2 = fstep(fts, x, y, keys)
+    np.testing.assert_allclose(np.asarray(m_sh["loss"]),
+                               np.asarray(m_ref2["loss"]), rtol=2e-5)
+
+
+def test_fleet_eval_counts_match_harnesses():
+    """Clean and FGSM fleet eval counts reproduce the single-run
+    accuracy/adversarial_accuracy harnesses member-for-member."""
+    model = tiny_model()
+    tx = make_optimizer("sgd", 0.05)
+    seeds = [1, 2]
+    fts = create_fleet_state(model, tx, seeds)
+
+    ds = synthetic_dataset(24, (28, 28, 1), seed=9)
+    batches = list(batch_iterator(ds, 8, seed=0, shuffle=False))
+    total = sum(len(b[1]) for b in batches)
+
+    clean_step = make_fleet_eval_step(model, SOLVERS, OPTS)
+    adv_cfg = AttackConfig(mode="fgsm", eps=0.15)
+    adv_step = make_fleet_eval_step(model, SOLVERS, OPTS,
+                                    attack_cfg=adv_cfg)
+
+    counts_c = jnp.zeros(len(seeds), jnp.int32)
+    counts_a = jnp.zeros(len(seeds), jnp.int32)
+    keys = fleet_keys(seeds)
+    for x, y in batches:
+        xs = tile_fleet(jnp.asarray(x), len(seeds))
+        ys = tile_fleet(jnp.asarray(y), len(seeds))
+        counts_c = counts_c + clean_step(fts.params, fts.model_state,
+                                         xs, ys, keys)
+        counts_a = counts_a + adv_step(fts.params, fts.model_state,
+                                       xs, ys, keys)
+
+    for i in range(len(seeds)):
+        p = fleet_member(fts.params, i)
+        st = fleet_member(fts.model_state, i)
+        acc_c = accuracy(model, p, st, SOLVERS, OPTS, batches)
+        assert float(counts_c[i]) / total == acc_c
+        predict = make_adversarial_predict(model, SOLVERS, OPTS, adv_cfg)
+        acc_a = adversarial_accuracy(model, p, st, SOLVERS, OPTS, batches,
+                                     adv_cfg, jax.random.key(0),
+                                     predict=predict)
+        assert abs(float(counts_a[i]) / total - acc_a) <= 1.0 / total
+
+
+def test_tile_and_member_roundtrip():
+    x = jnp.arange(12.0).reshape(3, 4)
+    t = tile_fleet(x, 5)
+    assert t.shape == (5, 3, 4)
+    np.testing.assert_array_equal(np.asarray(fleet_member(t, 2)),
+                                  np.asarray(x))
