@@ -211,22 +211,42 @@ def make_fleet_eval_step(
     with the shared config, mirroring ``make_adversarial_predict``.
     Accumulate counts on device across batches and divide by the total
     at the end (the `_drain_counts` discipline).
+
+    Like the fleet train step, ``counts`` accepts an optional trailing
+    ``dynamic_solvers`` argument (from :func:`stack_fleet_solvers`) so a
+    u-sweep fleet is *evaluated* under each member's own coefficients
+    too, not just trained under them.
     """
     model = _cast_model(model, compute_dtype)
     attacked = attack_cfg is not None and attack_cfg.mode != "clean"
 
-    def member_counts(params, state, x, y, key):
+    def member_counts(params, state, x, y, key, member_solvers):
         k_attack, k_afwd, k_fwd = jax.random.split(key, 3)
         if attacked:
             x = _run_attack(
-                model, params, state, list(solvers), solver_options,
+                model, params, state, member_solvers, solver_options,
                 attack_cfg, x, y, k_attack, k_afwd, remat, unroll,
             )
         logits, _, _ = model.apply(
-            params, state, x, list(solvers), solver_options,
+            params, state, x, member_solvers, solver_options,
             key=k_fwd, train=False, remat=remat, unroll=unroll,
         )
         return jnp.sum(jnp.argmax(logits, -1) == y)
 
-    return jax.jit(jax.vmap(member_counts),
-                   compiler_options=compiler_options)
+    plain = jax.jit(
+        jax.vmap(lambda p, s, x, y, k: member_counts(
+            p, s, x, y, k, list(solvers))),
+        compiler_options=compiler_options,
+    )
+    dyn = jax.jit(
+        jax.vmap(lambda p, s, x, y, k, ds: member_counts(
+            p, s, x, y, k, list(ds))),
+        compiler_options=compiler_options,
+    )
+
+    def counts(params, state, x, y, keys, dynamic_solvers=None):
+        if dynamic_solvers is None:
+            return plain(params, state, x, y, keys)
+        return dyn(params, state, x, y, keys, dynamic_solvers)
+
+    return counts
