@@ -62,6 +62,11 @@ def parse_args(argv=None):
     p.add_argument("--synthetic_test_size", type=int, default=512)
     p.add_argument("--dim", type=int, default=64)
     p.add_argument("--output_csv", type=str, default="mnist_u_sweep.csv")
+    p.add_argument("--fleet", action="store_true",
+                   help="train every (u, seed) arm as ONE vmapped fleet "
+                        "program (training/fleet.py) instead of "
+                        "sequentially — same per-seed PRNG chains, one "
+                        "device dispatch per step across all arms")
     return p.parse_args(argv)
 
 
@@ -129,6 +134,13 @@ def main(argv=None):
             total += int(y.shape[0])
         return correct / total, adv_correct / total
 
+    if args.fleet:
+        rows = _run_fleet(args, model, tx, ref_solver, opts, train_attack,
+                          train_ds, test_ds, logger)
+        _write_csv(args.output_csv, rows)
+        logger.info(f"wrote {len(rows)} rows to {args.output_csv}")
+        return
+
     rows = []
     for u0 in args.u_grid:
         # vary ONLY the traced u leaf: u0 is a static pytree-treedef field
@@ -156,12 +168,104 @@ def main(argv=None):
             rows.append({"u0": u0, "seed": seed, "clean_acc": clean_acc,
                          "robust_acc": robust_acc})
 
-    with open(args.output_csv, "w", newline="") as f:
+    _write_csv(args.output_csv, rows)
+    logger.info(f"wrote {len(rows)} rows to {args.output_csv}")
+
+
+def _write_csv(path, rows):
+    with open(path, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=["u0", "seed", "clean_acc",
                                           "robust_acc"])
         w.writeheader()
         w.writerows(rows)
-    logger.info(f"wrote {len(rows)} rows to {args.output_csv}")
+
+
+def _run_fleet(args, model, tx, ref_solver, opts, train_attack,
+               train_ds, test_ds, logger):
+    """The whole (u_grid x seeds) sweep as ONE fleet program.
+
+    Per-member semantics are the sequential path's: member (u0, seed)
+    consumes the identical per-seed PRNG chain (key(seed) -> init split ->
+    per-step splits) and the identical per-epoch batch order
+    (seed*1000+epoch), just advanced in one vmapped device dispatch per
+    step.  Per-member params match the sequential stream to float
+    tolerance (not bit-for-bit — see training/fleet.py numerics note), and
+    the PGD eval draws its random starts from a differently-shaped key
+    split, so robust accuracies are the same estimator, not the same
+    sample.
+    """
+    import numpy as np
+
+    from ..training import (
+        create_fleet_state,
+        fleet_keys,
+        make_fleet_eval_step,
+        make_fleet_train_step,
+        stack_fleet_solvers,
+    )
+    from ..training.train import AttackConfig
+
+    members = [(u0, seed) for u0 in args.u_grid for seed in args.seeds]
+    S = len(members)
+    member_solvers = [
+        [ref_solver.replace(u=jnp.asarray(u0, jnp.float32))]
+        for (u0, _) in members
+    ]
+    dyn = stack_fleet_solvers(member_solvers)
+    logger.info(f"fleet sweep: {S} members = {len(args.u_grid)} u x "
+                f"{len(args.seeds)} seeds in one program")
+
+    pairs = jax.vmap(jax.random.split)(
+        fleet_keys([s for (_, s) in members]))
+    carry, inits = pairs[:, 0], pairs[:, 1]
+    fts = create_fleet_state(model, tx, inits)
+    step = make_fleet_train_step(model, tx, [ref_solver], opts,
+                                 attack_cfg=train_attack)
+    for epoch in range(args.nepochs):
+        iters = [
+            batch_iterator(train_ds, args.batch_size,
+                           seed=s * 1000 + epoch, crop_padding=4)
+            for (_, s) in members
+        ]
+        for batches in zip(*iters):
+            x = jnp.asarray(np.stack([b[0] for b in batches]))
+            y = jnp.asarray(np.stack([b[1] for b in batches]))
+            pairs = jax.vmap(jax.random.split)(carry)
+            carry, subs = pairs[:, 0], pairs[:, 1]
+            fts, _ = step(fts, x, y, subs, dyn)
+
+    clean_fn = make_fleet_eval_step(model, [ref_solver], opts)
+    pgd_fn = make_fleet_eval_step(
+        model, [ref_solver], opts,
+        attack_cfg=AttackConfig(mode="at", eps=args.eps,
+                                pgd_lr=args.pgd_lr,
+                                pgd_niter=args.pgd_niter),
+    )
+    counts_c = jnp.zeros(S, jnp.int32)
+    counts_a = jnp.zeros(S, jnp.int32)
+    total = 0
+    for x, y in batch_iterator(test_ds, 256, shuffle=False,
+                               drop_last=False):
+        xs = jnp.broadcast_to(jnp.asarray(x)[None], (S,) + x.shape)
+        ys = jnp.broadcast_to(jnp.asarray(y)[None], (S,) + y.shape)
+        pairs = jax.vmap(jax.random.split)(carry)
+        carry, ks = pairs[:, 0], pairs[:, 1]
+        counts_c = counts_c + clean_fn(fts.params, fts.model_state,
+                                       xs, ys, ks, dyn)
+        counts_a = counts_a + pgd_fn(fts.params, fts.model_state,
+                                     xs, ys, ks, dyn)
+        total += int(y.shape[0])
+    clean = np.asarray(counts_c) / total
+    robust = np.asarray(counts_a) / total
+
+    rows = []
+    for i, (u0, seed) in enumerate(members):
+        logger.info(f"u0={u0:.4f} seed={seed} clean={clean[i]:.4f} "
+                    f"pgd={robust[i]:.4f}")
+        rows.append({"u0": u0, "seed": seed,
+                     "clean_acc": float(clean[i]),
+                     "robust_acc": float(robust[i])})
+    return rows
 
 
 if __name__ == "__main__":

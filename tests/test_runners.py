@@ -698,3 +698,38 @@ def test_make_train_step_rejects_compiler_options_unjitted():
             jit_compile=False,
             compiler_options={"xla_embed_ir_in_executable": False},
         )
+
+
+def test_u_sweep_fleet_matches_sequential(tmp_path):
+    """--fleet trains the whole (u, seed) grid as one vmapped program and
+    reproduces the sequential sweep's clean accuracies (per-member params
+    match the sequential stream to float tolerance — training/fleet.py —
+    so per-member argmax counts agree up to borderline samples; PGD
+    robust numbers are the same estimator under different random starts,
+    asserted only for range)."""
+    from neural_ode_metasolver_tpu.runners import u_sweep
+
+    common = [
+        "--u_grid", "0.35,1.0",
+        "--seeds", "1,2",
+        "--n_steps", "2",
+        "--nepochs", "2",
+        "--batch_size", "16",
+        "--dim", "8",
+        "--pgd_niter", "2",
+        "--synthetic_train_size", "64",
+        "--synthetic_test_size", "32",
+    ]
+    seq_csv = str(tmp_path / "seq.csv")
+    fleet_csv = str(tmp_path / "fleet.csv")
+    u_sweep.main(common + ["--output_csv", seq_csv])
+    u_sweep.main(common + ["--fleet", "--output_csv", fleet_csv])
+
+    seq = {(r["u0"], r["seed"]): r for r in csv.DictReader(open(seq_csv))}
+    fleet = {(r["u0"], r["seed"]): r
+             for r in csv.DictReader(open(fleet_csv))}
+    assert set(fleet) == set(seq) and len(fleet) == 4
+    for k in seq:
+        d = abs(float(fleet[k]["clean_acc"]) - float(seq[k]["clean_acc"]))
+        assert d <= 3 / 32, (k, fleet[k], seq[k])
+        assert 0.0 <= float(fleet[k]["robust_acc"]) <= 1.0
