@@ -248,12 +248,18 @@ def _run_fleet(args, model, tx, ref_solver, opts, train_attack,
                                drop_last=False):
         xs = jnp.broadcast_to(jnp.asarray(x)[None], (S,) + x.shape)
         ys = jnp.broadcast_to(jnp.asarray(y)[None], (S,) + y.shape)
+        # one split per consumer (the campaign script's k_eval/k_adv
+        # pattern): the clean path's key is unused at train=False today,
+        # but sharing it with PGD would correlate the streams if clean
+        # eval ever consumed it (e.g. regime sampling)
         pairs = jax.vmap(jax.random.split)(carry)
-        carry, ks = pairs[:, 0], pairs[:, 1]
+        carry, k_clean = pairs[:, 0], pairs[:, 1]
+        pairs = jax.vmap(jax.random.split)(carry)
+        carry, k_adv = pairs[:, 0], pairs[:, 1]
         counts_c = counts_c + clean_fn(fts.params, fts.model_state,
-                                       xs, ys, ks, dyn)
+                                       xs, ys, k_clean, dyn)
         counts_a = counts_a + pgd_fn(fts.params, fts.model_state,
-                                     xs, ys, ks, dyn)
+                                     xs, ys, k_adv, dyn)
         total += int(y.shape[0])
     clean = np.asarray(counts_c) / total
     robust = np.asarray(counts_a) / total

@@ -129,7 +129,12 @@ def main():
                 # clean (float() drains the dispatch queue — CLAUDE.md)
                 float(jnp.sum(metrics["loss"]))
                 t_compile = time.time() - te
-            elif epoch >= 1:
+            elif epoch == 0:
+                # drain epoch-0 steps too: otherwise the device backlog
+                # they enqueue lands on epoch 1's first timed step and
+                # inflates t_steady (understating the amortization)
+                float(jnp.sum(metrics["loss"]))
+            else:
                 float(jnp.sum(metrics["loss"]))
                 t_steady += time.time() - te
                 steady_steps += 1
@@ -137,9 +142,15 @@ def main():
         print(f"epoch {epoch + 1}/{args.nepochs} "
               f"({time.time() - t0:.1f}s)", flush=True)
     fleet_ms = 1e3 * t_steady / max(steady_steps, 1)
+    compile_str = f"{t_compile:.1f}s" if t_compile is not None else "n/a"
     print(f"fleet step: {fleet_ms:.1f} ms for S={S} "
           f"({fleet_ms / S:.2f} ms/member); first-call (compile) "
-          f"{t_compile:.1f}s; {n_train_steps} steps total", flush=True)
+          f"{compile_str}; {n_train_steps} steps total", flush=True)
+    if args.compare_single and steady_steps == 0:
+        print("warning: --compare_single needs >= 2 epochs for a "
+              "steady-state fleet timing; skipping the comparison",
+              flush=True)
+        args.compare_single = 0
 
     # -- eval: whole test set as one batch, per-member solvers ------------
     xt = jnp.asarray(test_ds.images)
