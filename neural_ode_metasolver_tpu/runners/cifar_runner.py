@@ -27,7 +27,13 @@ from ..models.api import build_model
 from ..ops import parse_solver_dsl
 from ..training import cyclic_lr, cyclic_momentum, make_optimizer
 from ..utils import count_parameters, fix_seeds, get_logger
-from .common import bool_flag, fit, parse_num_blocks
+from .common import (
+    add_multihost_flags,
+    bool_flag,
+    fit,
+    parse_num_blocks,
+    setup_multihost,
+)
 
 NETWORKS = [
     "metanode34", "metanode18", "metanode10", "metanode6", "metanode4",
@@ -187,6 +193,7 @@ def build_parser():
                         "(0 disables; overlaps upload with compute)")
     p.add_argument("--synthetic_train_size", type=int, default=8192)
     p.add_argument("--synthetic_test_size", type=int, default=1024)
+    add_multihost_flags(p)
     return p
 
 
@@ -196,9 +203,12 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    rank = setup_multihost(args)  # before ANY device use
     fix_seeds(args.seed)
     logger = get_logger(
-        os.path.join(args.save_dir, "logs"), debug=args.debug, name="cifar"
+        os.path.join(args.save_dir,
+                     "logs" if rank == 0 else f"logs_p{rank}"),
+        debug=args.debug, name="cifar",
     )
     logger.info(str(vars(args)))
 

@@ -47,7 +47,47 @@ __all__ = [
     "parse_mesh_spec",
     "parse_num_blocks",
     "optimizer_from_saved_args",
+    "add_multihost_flags",
+    "setup_multihost",
 ]
+
+
+def add_multihost_flags(p):
+    """Multi-host (DCN) flags shared by the training CLIs — the last seam
+    of SURVEY.md §5's distributed mandate: ``initialize_distributed`` /
+    ``host_local_batch_to_global`` were library-level and 2-process-tested
+    (tests/test_parallel.py::test_two_process_distributed_*), these wire
+    them to the runners so a pod slice needs no hand-written driver."""
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="jax.distributed coordinator address "
+                        "(host:port); with --num_hosts > 1, every "
+                        "process passes the same value")
+    p.add_argument("--num_hosts", type=int, default=None,
+                   help="total number of processes in the multi-host "
+                        "run (on TPU pods with standard envs this and "
+                        "--process_id are auto-detected; pass "
+                        "explicitly elsewhere)")
+    p.add_argument("--process_id", type=int, default=None,
+                   help="this process's rank in [0, num_hosts)")
+    return p
+
+
+def setup_multihost(args):
+    """Initialize ``jax.distributed`` from the CLI flags.  MUST run before
+    any device use (it changes what ``jax.devices()`` spans).  Returns
+    this process's rank (0 when single-host)."""
+    if not (args.coordinator or (args.num_hosts or 0) > 1
+            or args.process_id is not None):
+        return 0
+    from ..parallel import initialize_distributed
+
+    if not getattr(args, "mesh", None):
+        raise ValueError(
+            "multi-host training needs --mesh (e.g. --mesh data=-1 to "
+            "span every device of every host)")
+    initialize_distributed(args.coordinator, args.num_hosts,
+                           args.process_id)
+    return jax.process_index()
 
 
 def bool_flag(s: str) -> bool:
@@ -396,6 +436,28 @@ def fit(
         donate=mesh_spec is None,
         compiler_options=copts if mesh_spec is None else None,
     )
+    # Multi-host (DCN): every process runs this same fit() in lockstep;
+    # rank r feeds its disjoint 1/nproc slice of each (identically
+    # seeded, hence identically ordered) global batch through
+    # host_local_batch_to_global, so the jitted step sees the SAME
+    # global batch as a single-process run — loss/params parity is
+    # asserted by tests/test_parallel.py::test_runner_cli_two_process_*.
+    nproc = jax.process_count()
+    multihost = nproc > 1
+    rank = jax.process_index()
+    if multihost:
+        if mesh is None:
+            raise ValueError(
+                "multi-host training needs --mesh (e.g. data=-1)")
+        if any(ax != "data" for ax in mesh_spec):
+            raise ValueError(
+                "multi-host runners shard the data axis only; model/sp/pp "
+                "meshes are single-host (their param/halo placements are "
+                "not wired through host_local_batch_to_global)")
+        if getattr(args, "batch_size", 0) % nproc:
+            raise ValueError(
+                f"batch_size {args.batch_size} must be divisible by the "
+                f"process count ({nproc})")
     batch_sh = None
     if mesh_spec:
         from ..parallel import (
@@ -410,6 +472,17 @@ def fit(
             donate=True,
             compiler_options=copts,
         )
+        if multihost:
+            # the fresh TrainState is committed to this process's local
+            # device 0; jit in_shardings cannot reshard committed arrays
+            # across hosts — place it replicated over the global mesh
+            # explicitly (the _distributed_worker pattern)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            ts = jax.device_put(
+                ts, jax.tree_util.tree_map(
+                    lambda _: NamedSharding(mesh, P()), ts)
+            )
         # prefetch placement must match the step's in_shardings exactly
         # (jit rejects committed args with a different sharding); under
         # sp the input x is P('data','sp') while labels stay P('data')
@@ -432,7 +505,12 @@ def fit(
     from ..training.logging import MetricsLogger
 
     prefetch = getattr(args, "prefetch", 2)
-    mlog = MetricsLogger(save_dir, config=config) if save_dir else None
+    # multi-host: EVERY process calls the checkpoint saves below (orbax
+    # coordinates internally — the primary host writes, all participate
+    # in its barriers; a rank-gated save would deadlock the others), but
+    # only rank 0 appends to the metrics JSONL (plain file, no barrier)
+    mlog = (MetricsLogger(save_dir, config=config)
+            if save_dir and rank == 0 else None)
     profile_dir = getattr(args, "profile_dir", None)
     profiling = False
     for epoch in range(getattr(args, "nepochs", 1)):
@@ -441,7 +519,12 @@ def fit(
         # until the epoch ends — a float() per step would block dispatch
         # pipelining (SCALING.md timing methodology).
         batches = train_data_factory(epoch)
-        if prefetch:
+        if multihost:
+            # per-process slice -> global assembly (replaces the sharded
+            # prefetch: device_put cannot target non-addressable devices,
+            # make_array_from_process_local_data can)
+            batches = _multihost_batches(batches, mesh, nproc, rank)
+        elif prefetch:
             # threaded producer: numpy augmentation + upload dispatch run
             # off-thread, overlapping the previous step's device compute;
             # under --mesh, batches land already data-sharded over it
@@ -512,8 +595,13 @@ def fit(
                     step=int(ts.step),
                 )
         key, k_val = jax.random.split(key)
+        # under multi-host the TrainState lives replicated on the global
+        # mesh; eval/checkpointing run per-process on local devices, so
+        # hand them a host copy (params are replicated — every process
+        # holds the full values)
+        eval_ts = jax.device_get(ts) if multihost else ts
         best = validate(
-            model, ts, solvers, args, eval_data_factory, k_val, logger,
+            model, eval_ts, solvers, args, eval_data_factory, k_val, logger,
             best, save_dir, config, epoch, predict_cache=predict_cache,
         )
         if mlog and best:
@@ -545,8 +633,8 @@ def fit(
                     unroll=getattr(args, "unroll", 1),
                 )
             adv_acc = adversarial_accuracy(
-                model, ts.params, ts.model_state, solvers, solver_options,
-                test_data_factory(), test_attack, k_adv,
+                model, eval_ts.params, eval_ts.model_state, solvers,
+                solver_options, test_data_factory(), test_attack, k_adv,
                 predict=predict_cache["adv_predict"],
             )
             logger.info(f"epoch {epoch} | adversarial test acc {adv_acc:.4f}")
@@ -555,8 +643,10 @@ def fit(
                          step=int(ts.step))
         if save_dir:
             # async: serialization/IO overlaps the next epoch's compute
-            save_checkpoint(os.path.join(save_dir, "last"), ts, config,
-                            block=False)
+            # (under multi-host the checkpoint layer forces sync saves —
+            # async commit barriers would race across processes)
+            save_checkpoint(os.path.join(save_dir, "last"), eval_ts,
+                            config, block=False)
     if save_dir:
         wait_for_checkpoints()
     if mlog:
@@ -564,6 +654,25 @@ def fit(
                  step=int(ts.step))
         mlog.close()
     return ts
+
+
+def _multihost_batches(batches, mesh, nproc: int, rank: int):
+    """Slice each (identically ordered) global batch to this process's
+    1/nproc shard and assemble the global sharded arrays — the
+    ``host_local_batch_to_global`` feeding pattern, inline in the epoch
+    loop.  Every process iterates the same seeded batch stream, so the
+    slices are disjoint and together reconstitute the exact single-process
+    batch (cross-host transfer: none; each device keeps its host's data)."""
+    from ..parallel import host_local_batch_to_global
+
+    for x, y in batches:
+        x, y = np.asarray(x), np.asarray(y)
+        per = x.shape[0] // nproc
+        yield host_local_batch_to_global(
+            (x[rank * per:(rank + 1) * per],
+             y[rank * per:(rank + 1) * per]),
+            mesh,
+        )
 
 
 def _count_ode_blocks(model: Model) -> int:

@@ -12,6 +12,7 @@ import json
 import os
 from typing import Any, Dict, Optional
 
+import jax
 import orbax.checkpoint as ocp
 
 from .train import TrainState
@@ -62,6 +63,13 @@ def save_checkpoint(
     of ``runners.common.fit``)."""
     step = int(ts.step)
     path = _ckpt_dir(base_dir, step)
+    if jax.process_count() > 1:
+        # multi-host: every process calls save (orbax's primary host
+        # writes, the rest participate in its barriers) — and saves must
+        # be synchronous: async commit threads fire their cross-process
+        # barriers in nondeterministic order, colliding with the next
+        # save's ("Barrier ... is already ongoing")
+        block = True
     if block:
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(os.path.join(path, "state"), ts, force=True)
@@ -72,7 +80,9 @@ def save_checkpoint(
             args=ocp.args.StandardSave(ts),
             force=True,
         )
-    if config is not None:
+    if config is not None and jax.process_index() == 0:
+        # one sidecar writer under multi-host (every process calls save —
+        # orbax's primary host writes the state, the rest only barrier)
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "config.json"), "w") as f:
             json.dump(config, f, indent=2, default=str)

@@ -27,13 +27,13 @@ from confirmatory_smoothing_analysis import one_sided_t05  # noqa: E402
 CONF_SEED_LO, CONF_SEED_HI = 300, 347
 
 
-def load(paths):
+def load(paths, seed_lo=CONF_SEED_LO, seed_hi=CONF_SEED_HI):
     by = {}
     for path in paths:
         with open(path, newline="") as f:
             for r in csv.DictReader(f):
                 seed = int(r["seed"])
-                if not CONF_SEED_LO <= seed <= CONF_SEED_HI:
+                if not seed_lo <= seed <= seed_hi:
                     continue
                 k = (r["regime"], seed)
                 vals = tuple(float(r[c]) for c in
@@ -89,8 +89,12 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("inputs", nargs="+")
     p.add_argument("--expected_n", type=int, default=48)
+    p.add_argument("--seed_lo", type=int, default=CONF_SEED_LO,
+                   help="confirmatory seed window (round 3: 300-347; the "
+                        "round-4 fleet campaign pre-registers 1000-1447)")
+    p.add_argument("--seed_hi", type=int, default=CONF_SEED_HI)
     args = p.parse_args()
-    analyze(load(args.inputs), args.expected_n)
+    analyze(load(args.inputs, args.seed_lo, args.seed_hi), args.expected_n)
 
 
 if __name__ == "__main__":

@@ -70,6 +70,16 @@ def main():
     p.add_argument("--force_cpu", action="store_true",
                    help="smoke-test on local CPU (the env var alone is "
                         "overridden by sitecustomize)")
+    p.add_argument("--fleet", action="store_true",
+                   help="train every seed of each arm as ONE vmapped fleet "
+                        "program (scripts/fleet_smoothing_lib.py), with the "
+                        "per-epoch best-clean snapshot tracked on device "
+                        "per member — same per-seed PRNG chains and CRN "
+                        "pairing; a separate numerics stream from "
+                        "sequential rows (training/fleet.py note)")
+    p.add_argument("--fleet_chunk", type=int, default=None,
+                   help="members per fleet program (default: all seeds); "
+                        "every chunk reuses one compilation")
     args = p.parse_args()
     if args.force_cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -87,14 +97,30 @@ def main():
     pgd_eval = AttackConfig(mode="at", eps=args.eps, pgd_lr=2 / 255,
                             pgd_niter=7)
 
+    noise_cfgs = {
+        "standalone": NoiseConfig(),
+        "smoothing": NoiseConfig(noise_type="normal", sigma=args.sigma,
+                                 prob=1.0),
+    }
+
+    if args.fleet:
+        from fleet_smoothing_lib import run_fleet_regime
+
+        rows = []
+        for regime, ncfg in noise_cfgs.items():
+            rows += run_fleet_regime(
+                regime, model, tx, solvers, opts, attack, ncfg,
+                train_ds, test_ds, args.seeds, args.nepochs,
+                eval_attack_cfg=pgd_eval, track_best=True,
+                chunk_size=args.fleet_chunk,
+            )
+        _finish(args, rows)
+        return
+
     steps = {
-        "standalone": make_train_step(model, tx, solvers, opts,
-                                      attack_cfg=attack),
-        "smoothing": make_train_step(
-            model, tx, solvers, opts, attack_cfg=attack,
-            noise_cfg=NoiseConfig(noise_type="normal", sigma=args.sigma,
-                                  prob=1.0),
-        ),
+        regime: make_train_step(model, tx, solvers, opts,
+                                attack_cfg=attack, noise_cfg=ncfg)
+        for regime, ncfg in noise_cfgs.items()
     }
 
     # whole 359-sample test set as one device-resident batch
@@ -168,6 +194,10 @@ def main():
                          "final_robust": final_robust,
                          "best_epoch": best_epoch})
 
+    _finish(args, rows)
+
+
+def _finish(args, rows):
     os.makedirs(os.path.dirname(args.output_csv) or ".", exist_ok=True)
     with open(args.output_csv, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=FIELDS)

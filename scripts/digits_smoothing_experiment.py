@@ -59,7 +59,24 @@ def main():
     p.add_argument("--eps", type=float, default=0.3)
     p.add_argument("--output_csv", type=str,
                    default="results/digits_smoothing.csv")
+    p.add_argument("--fleet", action="store_true",
+                   help="train every seed of each arm as ONE vmapped fleet "
+                        "program (scripts/fleet_smoothing_lib.py) — same "
+                        "per-seed PRNG chains and CRN pairing, one device "
+                        "dispatch per step; a separate numerics stream "
+                        "from sequential rows (training/fleet.py note)")
+    p.add_argument("--fleet_chunk", type=int, default=None,
+                   help="members per fleet program (default: all seeds); "
+                        "every chunk reuses one compilation")
+    p.add_argument("--force_cpu", action="store_true",
+                   help="smoke-test on local CPU (the env var alone is "
+                        "overridden by sitecustomize)")
     args = p.parse_args()
+    if args.force_cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(__file__), "..",
+                                       ".jax_cache_cpu"))
 
     train_ds, test_ds = load_digits_dataset(seed=0)
     model = build_model("mnist", dim=64)
@@ -74,14 +91,29 @@ def main():
     pgd_eval = AttackConfig(mode="at", eps=args.eps, pgd_lr=2 / 255,
                             pgd_niter=7)
 
+    noise_cfgs = {
+        "standalone": NoiseConfig(),
+        "smoothing": NoiseConfig(noise_type="normal", sigma=args.sigma,
+                                 prob=1.0),
+    }
+
+    if args.fleet:
+        from fleet_smoothing_lib import run_fleet_regime
+
+        rows = []
+        for regime, ncfg in noise_cfgs.items():
+            rows += run_fleet_regime(
+                regime, model, tx, solvers, opts, attack, ncfg,
+                train_ds, test_ds, args.seeds, args.nepochs,
+                eval_attack_cfg=pgd_eval, chunk_size=args.fleet_chunk,
+            )
+        _finish(args, rows)
+        return
+
     steps = {
-        "standalone": make_train_step(model, tx, solvers, opts,
-                                      attack_cfg=attack),
-        "smoothing": make_train_step(
-            model, tx, solvers, opts, attack_cfg=attack,
-            noise_cfg=NoiseConfig(noise_type="normal", sigma=args.sigma,
-                                  prob=1.0),
-        ),
+        regime: make_train_step(model, tx, solvers, opts,
+                                attack_cfg=attack, noise_cfg=ncfg)
+        for regime, ncfg in noise_cfgs.items()
     }
 
     rows = []
@@ -110,6 +142,10 @@ def main():
             rows.append({"regime": regime, "seed": seed, "clean_acc": clean,
                          "robust_acc": robust})
 
+    _finish(args, rows)
+
+
+def _finish(args, rows):
     os.makedirs(os.path.dirname(args.output_csv) or ".", exist_ok=True)
     with open(args.output_csv, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=["regime", "seed", "clean_acc",

@@ -78,6 +78,10 @@ def main():
                         "amortization comparison (epochs of steps: 1)")
     p.add_argument("--output_csv", type=str,
                    default="results/fleet_digits_campaign.csv")
+    p.add_argument("--timing_only", action="store_true",
+                   help="stop after the step-time measurement (skips the "
+                        "eval kernels and CSV) — for the amortization "
+                        "curve, where only ms/step matters")
     args = p.parse_args()
 
     us = args.u_grid if args.u_grid else [0.5]
@@ -151,6 +155,10 @@ def main():
               "steady-state fleet timing; skipping the comparison",
               flush=True)
         args.compare_single = 0
+    if args.timing_only:
+        _compare_single(args, model, tx, base_solvers, opts, attack,
+                        train_ds, members, S, fleet_ms)
+        return
 
     # -- eval: whole test set as one batch, per-member solvers ------------
     xt = jnp.asarray(test_ds.images)
@@ -192,30 +200,37 @@ def main():
     print("wrote", args.output_csv, flush=True)
 
     # -- single-run comparator: same step, S=1, steady-state ms/step ------
-    if args.compare_single:
-        sstep = make_train_step(model, tx, base_solvers, opts,
-                                attack_cfg=attack)
-        key = jax.random.key(members[0][1])
-        key, k_init = jax.random.split(key)
-        ts = create_train_state(model, tx, k_init)
-        t_single = 0.0
-        n_single = 0
-        for epoch in range(2):
-            for x, y in batch_iterator(train_ds, args.batch,
-                                       seed=members[0][1] * 977 + epoch,
-                                       crop_padding=4):
-                key, sub = jax.random.split(key)
-                te = time.time()
-                ts, m = sstep(ts, jnp.asarray(x), jnp.asarray(y), sub)
-                float(m["loss"])
-                if epoch >= 1:
-                    t_single += time.time() - te
-                    n_single += 1
-        single_ms = 1e3 * t_single / max(n_single, 1)
-        print(f"single-run step: {single_ms:.2f} ms; sequential campaign "
-              f"estimate {single_ms * S:.1f} ms/step-row vs fleet "
-              f"{fleet_ms:.1f} ms -> amortization x"
-              f"{single_ms * S / fleet_ms:.1f}", flush=True)
+    _compare_single(args, model, tx, base_solvers, opts, attack, train_ds,
+                    members, S, fleet_ms)
+
+
+def _compare_single(args, model, tx, base_solvers, opts, attack, train_ds,
+                    members, S, fleet_ms):
+    if not args.compare_single:
+        return
+    sstep = make_train_step(model, tx, base_solvers, opts,
+                            attack_cfg=attack)
+    key = jax.random.key(members[0][1])
+    key, k_init = jax.random.split(key)
+    ts = create_train_state(model, tx, k_init)
+    t_single = 0.0
+    n_single = 0
+    for epoch in range(2):
+        for x, y in batch_iterator(train_ds, args.batch,
+                                   seed=members[0][1] * 977 + epoch,
+                                   crop_padding=4):
+            key, sub = jax.random.split(key)
+            te = time.time()
+            ts, m = sstep(ts, jnp.asarray(x), jnp.asarray(y), sub)
+            float(m["loss"])
+            if epoch >= 1:
+                t_single += time.time() - te
+                n_single += 1
+    single_ms = 1e3 * t_single / max(n_single, 1)
+    print(f"single-run step: {single_ms:.2f} ms; sequential campaign "
+          f"estimate {single_ms * S:.1f} ms/step-row vs fleet "
+          f"{fleet_ms:.1f} ms -> amortization x"
+          f"{single_ms * S / fleet_ms:.1f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -99,3 +99,51 @@ def test_cifar_example_restores_default_runner_checkpoint(tmp_path):
                ["--checkpoint", ckpt, "--in_planes", "8",
                 "--batch_size", "8", "--n_eval", "16", "--n_steps", "2"])
     assert "loaded checkpoint" in out
+
+
+def test_smoothing_best_iterate_fleet_matches_sequential(tmp_path):
+    """--fleet trains both CRN arms' seeds as vmapped fleet programs
+    (scripts/fleet_smoothing_lib.py) and reproduces the sequential
+    driver's clean endpoints (per-member params match the sequential
+    stream to float tolerance — training/fleet.py numerics note — so
+    argmax counts agree up to borderline samples); PGD robust numbers
+    are the same estimator under a different key-split shape, asserted
+    only for range.  Mirrors test_u_sweep_fleet_matches_sequential."""
+    import csv
+
+    common = [
+        "--seeds", "1,2",
+        "--nepochs", "2",
+        "--n_steps", "2",
+        "--dim", "8",
+        "--force_cpu",
+    ]
+    seq_csv = str(tmp_path / "seq.csv")
+    fleet_csv = str(tmp_path / "fleet.csv")
+
+    def run(extra):
+        res = subprocess.run(
+            [sys.executable,
+             os.path.join(REPO, "scripts", "digits_smoothing_best_iterate.py")]
+            + common + extra,
+            cwd=REPO, env=dict(os.environ), capture_output=True, text=True,
+            timeout=540,
+        )
+        assert res.returncode == 0, (res.stdout[-2000:], res.stderr[-2000:])
+
+    run(["--output_csv", seq_csv])
+    # fleet_chunk=1 exercises the chunking loop (2 chunks/arm, shared
+    # compilation) on top of the fleet numerics path
+    run(["--fleet", "--fleet_chunk", "1", "--output_csv", fleet_csv])
+
+    seq = {(r["regime"], r["seed"]): r for r in csv.DictReader(open(seq_csv))}
+    fleet = {(r["regime"], r["seed"]): r
+             for r in csv.DictReader(open(fleet_csv))}
+    assert set(fleet) == set(seq) and len(fleet) == 4
+    for k in seq:
+        for col in ("clean_acc", "final_clean"):
+            d = abs(float(fleet[k][col]) - float(seq[k][col]))
+            assert d <= 0.03, (k, col, fleet[k], seq[k])
+        for col in ("robust_acc", "final_robust"):
+            assert 0.0 <= float(fleet[k][col]) <= 1.0
+        assert 0 <= int(fleet[k]["best_epoch"]) <= 1, (k, fleet[k])

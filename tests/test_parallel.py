@@ -672,3 +672,62 @@ def test_ensemble_integrate_custom_grid():
     mixed = [solvers[0], solvers[1].replace(custom_grid=(0.0, 1.0))]
     with pytest.raises(ValueError, match="homogeneous"):
         ensemble_integrate(mixed, rhs, y0)
+
+
+def test_runner_cli_two_process_matches_single(tmp_path):
+    """Multi-host at the CLI (VERDICT r3 item 4): the actual mnist runner,
+    launched twice with --coordinator/--num_hosts/--process_id over a
+    localhost jax.distributed coordinator (each process owning 4 virtual
+    CPU devices -> one global data=8 mesh), must reproduce the
+    single-process run of the identical command: same per-epoch train
+    losses and same final checkpoint params (the global batches are
+    identical — same seeded order, disjoint per-process slices)."""
+    import json
+    import socket
+    import subprocess
+    import sys
+    import os
+
+    worker = os.path.join(os.path.dirname(__file__),
+                          "_distributed_runner_worker.py")
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    def run(num_procs, local_devs, tag):
+        # ONE shared save_dir: every process calls the orbax saves (the
+        # primary host writes, the rest participate in the barriers)
+        outs = [str(tmp_path / f"rw_{tag}_{r}.json")
+                for r in range(num_procs)]
+        env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, f"localhost:{port}",
+                 str(num_procs), str(r), str(local_devs),
+                 str(tmp_path / f"exp_{tag}"), outs[r]],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+            for r in range(num_procs)
+        ]
+        logs = [p.communicate(timeout=480)[0].decode() for p in procs]
+        for p, log in zip(procs, logs):
+            assert p.returncode == 0, log[-2000:]
+        results = [json.load(open(o)) for o in outs]
+        # ranks restored the same checkpoint
+        for r in results[1:]:
+            assert r["param_checksum"] == results[0]["param_checksum"]
+        return results[0]
+
+    single = run(1, 8, "single")
+    two = run(2, 4, "two")
+
+    assert single["global_devices"] == 8 and two["global_devices"] == 8
+    assert single["step"] == two["step"] > 0
+    assert len(two["train_losses"]) == len(single["train_losses"]) == 2
+    for a, b in zip(two["train_losses"], single["train_losses"]):
+        assert a == pytest.approx(b, abs=2e-5)
+    assert two["param_checksum"] == pytest.approx(
+        single["param_checksum"], rel=1e-5)
+    np.testing.assert_allclose(two["param_head"], single["param_head"],
+                               rtol=1e-4, atol=1e-6)
