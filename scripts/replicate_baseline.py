@@ -78,6 +78,14 @@ def parse_args(argv=None):
     p.add_argument("--force_cpu", action="store_true",
                    help="run on the local 8-device virtual CPU mesh "
                         "(smoke does this automatically)")
+    p.add_argument("--grad_clip", type=float, default=None,
+                   help="global-norm gradient clipping for the training "
+                        "arms (cifar_runner --grad_clipping_threshold). "
+                        "Real CIFAR-10 keeps gradients bounded without "
+                        "it; --allow_synthetic rehearsals NEED ~1.0 — "
+                        "norm-free premetanode10 diverges on separable "
+                        "synthetic data at any precision (RESULTS.md "
+                        "round-2 flagship finding)")
     p.add_argument("--allow_synthetic", action="store_true",
                    help="dress rehearsal: run --subset full at the real "
                         "protocol shape (premetanode10 width 64, 36 "
@@ -107,6 +115,8 @@ def train_arm(arm, seed, save_dir, args):
     if arm == "smoothing":
         argv += ["--noise_type", "normal", "--noise_sigma", "0.0125",
                  "--noise_prob", "1.0"]
+    if args.grad_clip is not None:
+        argv += ["--grad_clipping_threshold", str(args.grad_clip)]
     if smoke:
         argv += ["--in_planes", "8", "--batch_size", "32",
                  "--test_batch_size", "32",

@@ -731,3 +731,26 @@ def test_runner_cli_two_process_matches_single(tmp_path):
         single["param_checksum"], rel=1e-5)
     np.testing.assert_allclose(two["param_head"], single["param_head"],
                                rtol=1e-4, atol=1e-6)
+
+
+def test_multihost_flags_validation():
+    """--coordinator/--num_hosts/--process_id exist on both runner CLIs,
+    and setup_multihost refuses a multi-host run without --mesh (the
+    global mesh is what the per-process batch slices feed) while being a
+    no-op for plain single-host invocations."""
+    import argparse
+
+    from neural_ode_metasolver_tpu.runners import cifar_runner, mnist_runner
+    from neural_ode_metasolver_tpu.runners.common import setup_multihost
+
+    for mod in (mnist_runner, cifar_runner):
+        args = mod.parse_args(["--solvers", "rk2,u,2,-1,0.5,-1"])
+        for f in ("coordinator", "num_hosts", "process_id"):
+            assert hasattr(args, f), (mod.__name__, f)
+        # single-host: a no-op returning rank 0, no jax.distributed init
+        assert setup_multihost(args) == 0
+
+    ns = argparse.Namespace(coordinator="localhost:1", num_hosts=2,
+                            process_id=0, mesh=None)
+    with pytest.raises(ValueError, match="--mesh"):
+        setup_multihost(ns)
