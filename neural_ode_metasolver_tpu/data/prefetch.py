@@ -23,7 +23,7 @@ from typing import Any, Iterable, Iterator, Optional
 
 import jax
 
-__all__ = ["prefetch_to_device"]
+__all__ = ["prefetch_to_device", "threaded_iterator"]
 
 _END = object()
 
@@ -87,6 +87,20 @@ def prefetch_to_device(
             yield item
 
     return gen()
+
+
+def threaded_iterator(iterator: Iterable[Any], size: int = 2) -> Iterator[Any]:
+    """Run ``iterator`` on a background thread with a ``size``-bounded
+    queue, yielding its items unchanged.  For producers whose items are
+    already device-resident (e.g. multi-host global arrays from
+    ``make_array_from_process_local_data``, which ``jax.device_put``
+    must NOT touch — its leaves span non-addressable devices): the
+    host-side work (augmentation, slicing, assembly dispatch) overlaps
+    the consumer's device compute, exactly like
+    ``prefetch_to_device(thread=True)`` minus the transfer."""
+    if size < 1:
+        raise ValueError(f"prefetch size must be >= 1, got {size}")
+    return _threaded_prefetch(iterator, size, lambda item: item)
 
 
 def _threaded_prefetch(iterator, size, put) -> Iterator[Any]:

@@ -254,6 +254,22 @@ def validate(
 
     cache = predict_cache if predict_cache is not None else {}
 
+    # Multi-host: the best-checkpoint saves below are orbax collectives
+    # (every process must enter the barrier — fit's save discipline), so
+    # the acc > best decision must be IDENTICAL on every process.  Local
+    # eval accs should agree (replicated params, identically seeded data)
+    # but are not guaranteed bitwise-equal across heterogeneous hosts;
+    # broadcast rank 0's value so all ranks compare the same float.
+    nproc = jax.process_count()
+
+    def _sync(acc: float) -> float:
+        if nproc == 1:
+            return acc
+        from jax.experimental import multihost_utils
+
+        return float(multihost_utils.broadcast_one_to_all(
+            np.float32(acc)))
+
     def get_predict(tag, solvers_, opts_):
         if tag not in cache:
             cache[tag] = make_eval_step(model, solvers_, opts_)
@@ -271,6 +287,7 @@ def validate(
                         SolverOptions(solver_mode="standalone"),
                     ),
                 )
+                acc = _sync(acc)
                 logger.info(
                     f"epoch {epoch} | standalone solver {i} "
                     f"(u0={s.u0}) acc {acc:.4f}"
@@ -297,6 +314,7 @@ def validate(
                 eval_data_factory(), key=sub,
                 predict=get_predict(mode, solvers, opts),
             )
+            acc = _sync(acc)
             logger.info(f"epoch {epoch} | {mode} acc {acc:.4f}")
             if acc > best.get(mode, 0.0):
                 best[mode] = acc
@@ -522,8 +540,14 @@ def fit(
         if multihost:
             # per-process slice -> global assembly (replaces the sharded
             # prefetch: device_put cannot target non-addressable devices,
-            # make_array_from_process_local_data can)
+            # make_array_from_process_local_data can).  threaded_iterator
+            # keeps the overlap prefetch_to_device would have given: the
+            # factory's augmentation + assembly dispatch run off-thread.
             batches = _multihost_batches(batches, mesh, nproc, rank)
+            if prefetch:
+                from ..data.prefetch import threaded_iterator
+
+                batches = threaded_iterator(batches, size=prefetch)
         elif prefetch:
             # threaded producer: numpy augmentation + upload dispatch run
             # off-thread, overlapping the previous step's device compute;
@@ -662,11 +686,24 @@ def _multihost_batches(batches, mesh, nproc: int, rank: int):
     ``host_local_batch_to_global`` feeding pattern, inline in the epoch
     loop.  Every process iterates the same seeded batch stream, so the
     slices are disjoint and together reconstitute the exact single-process
-    batch (cross-host transfer: none; each device keeps its host's data)."""
+    batch (cross-host transfer: none; each device keeps its host's data).
+
+    Every process materializes + augments the full global batch before
+    slicing — nproc-fold redundant host work, accepted deliberately: the
+    identical streams are what guarantee single-process parity without
+    cross-host data exchange, and the redundant numpy work rides on the
+    background thread (threaded_iterator in fit).  A pod-scale input
+    pipeline would shard the dataset per process instead."""
     from ..parallel import host_local_batch_to_global
 
     for x, y in batches:
         x, y = np.asarray(x), np.asarray(y)
+        if x.shape[0] % nproc:
+            raise ValueError(
+                f"multi-host batch of {x.shape[0]} is not divisible by "
+                f"the process count ({nproc}); use drop_last batching or "
+                f"a batch_size that is a multiple of the process count — "
+                f"silently truncating would break single-process parity")
         per = x.shape[0] // nproc
         yield host_local_batch_to_global(
             (x[rank * per:(rank + 1) * per],

@@ -128,18 +128,14 @@ def main():
             carry, subs = _split_fleet(carry)
             te = time.time()
             fts, metrics = fstep(fts, x, y, subs, dyn)
+            # drain EVERY step (float() empties the dispatch queue —
+            # CLAUDE.md): step 0 so the compile time is clean, the rest
+            # of epoch 0 so no device backlog lands on epoch 1's first
+            # timed step and inflates t_steady
+            float(jnp.sum(metrics["loss"]))
             if n_train_steps == 0:
-                # first call compiles; force it so steady-state timing is
-                # clean (float() drains the dispatch queue — CLAUDE.md)
-                float(jnp.sum(metrics["loss"]))
                 t_compile = time.time() - te
-            elif epoch == 0:
-                # drain epoch-0 steps too: otherwise the device backlog
-                # they enqueue lands on epoch 1's first timed step and
-                # inflates t_steady (understating the amortization)
-                float(jnp.sum(metrics["loss"]))
-            else:
-                float(jnp.sum(metrics["loss"]))
+            elif epoch >= 1:
                 t_steady += time.time() - te
                 steady_steps += 1
             n_train_steps += 1

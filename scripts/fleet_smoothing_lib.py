@@ -22,6 +22,15 @@ with stored sequential rows, only analyzed as fresh pre-registered
 campaigns.  The paired CRN design is unaffected: both arms of a pair run
 under the same lowering.
 
+Eval-key chain: the fleet's post-training chain is offset ONE split from
+the sequential drivers' (they split once — k_adv; this path burns a
+clean-eval split first, so its k_adv is the second split; see the
+final-iterate block below).  Frozen as-is mid-campaign (round 4, seeds
+1000-1447): every fleet row shares the offset, both CRN arms consume
+identical chains, so pairing is exact — but fleet robust endpoints are
+not key-position-identical to sequential re-runs of the same seed, which
+the "own stream" rule above already forbids comparing anyway.
+
 Endpoints: with `track_best=True` this reproduces the best-iterate
 protocol — after every epoch the whole-test-set clean accuracy is
 evaluated per member in the same dispatch and the argmax-by-clean
@@ -153,8 +162,13 @@ def run_fleet_regime(
                 best = track(best, fts.params, fts.model_state,
                              jnp.int32(epoch))
 
-        # final-iterate endpoints (one split per consumer)
-        carry, _k_clean = _split_fleet(carry)
+        # final-iterate endpoints.  NOTE: this first split is burnt —
+        # clean eval consumes no randomness (k_unused below) — so k_adv
+        # is the SECOND post-training split, one position past the
+        # sequential drivers' chain (module docstring, "Eval-key chain").
+        # Do not remove it: the round-4 campaign chunks are keyed this
+        # way and all fleet rows must share one chain layout.
+        carry, _k_burnt = _split_fleet(carry)
         final_clean = np.asarray(
             clean_fn(fts.params, fts.model_state, xts, yts, k_unused)
         ) / n_test

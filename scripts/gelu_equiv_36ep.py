@@ -104,7 +104,8 @@ def run(acts, seed, nepochs, train_ds, test_ds):
         model, ts.params, ts.model_state, SOLVERS, OPTS, data(),
         AttackConfig(mode="at", eps=8 / 255, pgd_lr=2 / 255, pgd_niter=7,
                      mean=CIFAR10_MEAN, std=CIFAR10_STD), k2)
-    out = {"acts": acts, "seed": seed, "clean": float(clean),
+    out = {"acts": acts, "seed": seed, "nepochs": nepochs,
+           "clean": float(clean),
            "fgsm": float(fgsm), "pgd": float(pgd),
            "final_loss": losses[-1], "peak_loss": peak_loss,
            "epoch_losses": losses, "train_s": round(t_train, 1)}
@@ -136,7 +137,9 @@ def main():
     for spec in args.arms.split(","):
         acts, seed = spec.split(":")
         k = (acts, int(seed))
-        if k in done:
+        # reuse only arms trained at THIS epoch count — a smoke-length
+        # invocation must never contaminate the full-schedule verdict
+        if k in done and done[k].get("nepochs") == args.nepochs:
             print(f"reusing stored arm {k}", flush=True)
             arms.append(done[k])
         else:
@@ -149,9 +152,9 @@ def main():
                           indent=1)
 
     by = {(a["acts"], a["seed"]): a for a in arms}
-    if len(by) >= 3:
-        e2, p2, e3 = (by[("GeLU", 602)], by[("GeLUpoly", 602)],
-                      by[("GeLU", 603)])
+    needed = [("GeLU", 602), ("GeLUpoly", 602), ("GeLU", 603)]
+    if all(k in by for k in needed):
+        e2, p2, e3 = (by[needed[0]], by[needed[1]], by[needed[2]])
         verdict = {}
         for ep in ("fgsm", "pgd", "clean"):
             act_d = abs(p2[ep] - e2[ep])

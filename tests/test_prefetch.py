@@ -121,3 +121,34 @@ def test_threaded_prefetch_releases_producer_blocked_on_end_marker():
         _t.sleep(0.05)
     else:
         raise AssertionError("producer stuck on _END put after abandon")
+
+
+def test_threaded_iterator_passthrough_order_and_identity():
+    """threaded_iterator yields items unchanged (no device_put) in order —
+    the multi-host fit path depends on global arrays passing untouched."""
+    from neural_ode_metasolver_tpu.data.prefetch import threaded_iterator
+
+    items = [(np.full((2,), i, np.float32), i) for i in range(9)]
+    out = list(threaded_iterator(iter(items), size=2))
+    assert len(out) == 9
+    for i, (x, tag) in enumerate(out):
+        assert x is items[i][0]  # identity: never copied/uploaded
+        assert tag == i
+    with pytest.raises(ValueError):
+        threaded_iterator(iter(items), size=0)
+
+
+def test_multihost_batches_rejects_indivisible_batch():
+    """A tail batch not divisible by process count must raise, not be
+    silently truncated (single-process parity guarantee)."""
+    from jax.sharding import Mesh
+
+    from neural_ode_metasolver_tpu.runners.common import _multihost_batches
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    batches = [(np.zeros((4, 2), np.float32), np.zeros((4,), np.int32)),
+               (np.zeros((3, 2), np.float32), np.zeros((3,), np.int32))]
+    it = _multihost_batches(iter(batches), mesh, nproc=2, rank=0)
+    next(it)  # 4 % 2 == 0: fine
+    with pytest.raises(ValueError, match="not divisible"):
+        next(it)
