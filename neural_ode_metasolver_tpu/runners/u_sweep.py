@@ -67,6 +67,11 @@ def parse_args(argv=None):
                         "program (training/fleet.py) instead of "
                         "sequentially — same per-seed PRNG chains, one "
                         "device dispatch per step across all arms")
+    p.add_argument("--fleet_chunk", type=int, default=None,
+                   help="members per fleet program (default: all "
+                        "u x seed arms in one program); bound this on "
+                        "chip — 96 members OOMs a single v5p core at "
+                        "72 epochs, 32 is proven safe")
     return p.parse_args(argv)
 
 
@@ -182,7 +187,7 @@ def _write_csv(path, rows):
 
 def _run_fleet(args, model, tx, ref_solver, opts, train_attack,
                train_ds, test_ds, logger):
-    """The whole (u_grid x seeds) sweep as ONE fleet program.
+    """The whole (u_grid x seeds) sweep as a fleet, chunked if asked.
 
     Per-member semantics are the sequential path's: member (u0, seed)
     consumes the identical per-seed PRNG chain (key(seed) -> init split ->
@@ -193,7 +198,30 @@ def _run_fleet(args, model, tx, ref_solver, opts, train_attack,
     the PGD eval draws its random starts from a differently-shaped key
     split, so robust accuracies are the same estimator, not the same
     sample.
+
+    --fleet_chunk bounds members per compiled program: per-member HBM
+    footprint is independent across members, so the full 4u x 24seed
+    72-epoch sweep (96 members) overflows a single core while the same
+    members in 24-member programs fit; equal-size chunks reuse one
+    compilation.  Member results are chunk-order-invariant (per-member
+    PRNG chains are derived from the seed, not the chunk).
     """
+    members = [(u0, seed) for u0 in args.u_grid for seed in args.seeds]
+    chunk = args.fleet_chunk or len(members)
+    rows = []
+    for lo in range(0, len(members), chunk):
+        part = members[lo:lo + chunk]
+        if args.fleet_chunk:
+            logger.info(f"fleet chunk {lo // chunk + 1}/"
+                        f"{-(-len(members) // chunk)}: {len(part)} members")
+        rows += _run_fleet_members(args, model, tx, ref_solver, opts,
+                                   train_attack, train_ds, test_ds,
+                                   logger, part)
+    return rows
+
+
+def _run_fleet_members(args, model, tx, ref_solver, opts, train_attack,
+                       train_ds, test_ds, logger, members):
     import numpy as np
 
     from ..training import (
@@ -205,15 +233,15 @@ def _run_fleet(args, model, tx, ref_solver, opts, train_attack,
     )
     from ..training.train import AttackConfig
 
-    members = [(u0, seed) for u0 in args.u_grid for seed in args.seeds]
     S = len(members)
     member_solvers = [
         [ref_solver.replace(u=jnp.asarray(u0, jnp.float32))]
         for (u0, _) in members
     ]
     dyn = stack_fleet_solvers(member_solvers)
-    logger.info(f"fleet sweep: {S} members = {len(args.u_grid)} u x "
-                f"{len(args.seeds)} seeds in one program")
+    logger.info(f"fleet sweep: {S} members (of "
+                f"{len(args.u_grid) * len(args.seeds)} total) in one "
+                f"program")
 
     pairs = jax.vmap(jax.random.split)(
         fleet_keys([s for (_, s) in members]))

@@ -722,14 +722,24 @@ def test_u_sweep_fleet_matches_sequential(tmp_path):
     ]
     seq_csv = str(tmp_path / "seq.csv")
     fleet_csv = str(tmp_path / "fleet.csv")
+    chunk_csv = str(tmp_path / "fleet_chunked.csv")
     u_sweep.main(common + ["--output_csv", seq_csv])
     u_sweep.main(common + ["--fleet", "--output_csv", fleet_csv])
+    # --fleet_chunk splits the 4 members into two 2-member programs;
+    # per-member PRNG chains derive from the seed alone, so results must
+    # agree with the sequential stream to the same tolerance (chunk size
+    # changes the grouped-conv S, so vs-unchunked-fleet equality is NOT
+    # asserted — training/fleet.py numerics note)
+    u_sweep.main(common + ["--fleet", "--fleet_chunk", "2",
+                           "--output_csv", chunk_csv])
 
     seq = {(r["u0"], r["seed"]): r for r in csv.DictReader(open(seq_csv))}
-    fleet = {(r["u0"], r["seed"]): r
-             for r in csv.DictReader(open(fleet_csv))}
-    assert set(fleet) == set(seq) and len(fleet) == 4
-    for k in seq:
-        d = abs(float(fleet[k]["clean_acc"]) - float(seq[k]["clean_acc"]))
-        assert d <= 3 / 32, (k, fleet[k], seq[k])
-        assert 0.0 <= float(fleet[k]["robust_acc"]) <= 1.0
+    for path in (fleet_csv, chunk_csv):
+        fleet = {(r["u0"], r["seed"]): r
+                 for r in csv.DictReader(open(path))}
+        assert set(fleet) == set(seq) and len(fleet) == 4
+        for k in seq:
+            d = abs(float(fleet[k]["clean_acc"])
+                    - float(seq[k]["clean_acc"]))
+            assert d <= 3 / 32, (k, path, fleet[k], seq[k])
+            assert 0.0 <= float(fleet[k]["robust_acc"]) <= 1.0
