@@ -14,12 +14,14 @@ images — results/flagship36_*/metrics.jsonl config) is run three times:
     GeLUpoly @ seed 602 (identical init/keys/batch order)
     erf @ seed 603      (the seed-noise yardstick)
 
-Clean accuracy saturates at 1.0 on this separable synthetic task (round-2
-finding), so the discriminative endpoints are FGSM(8/255) and
-PGD(8/255, 2/255, 7) robust accuracy plus the final/peak train losses.
-Equivalence bar: |poly@602 - erf@602| <= max(|erf@602 - erf@603|, 0.01)
-per robust endpoint — the activation swap must not move results by more
-than a seed does.
+ALL accuracy endpoints (clean AND robust) saturate at 1.0 on this
+separable synthetic task (round-4 finding: the banked erf arm reports
+clean=fgsm=pgd=1.0), so accuracies are recorded but non-binding.  The
+BINDING equivalence basis is the epoch-loss trajectory, which does
+discriminate: per-epoch |poly@602 - erf@602| (mean and max over the 36
+epochs) must not exceed the seed yardstick |erf@603 - erf@602| (floors
+0.01 mean / 0.05 max) — the activation swap must not move the training
+trajectory by more than a seed change does.
 
   python scripts/gelu_equiv_36ep.py [--nepochs 36] \
       [--out results/gelu_tax/gelu_equiv_36ep.json]
@@ -55,7 +57,7 @@ SOLVERS = parse_solver_dsl("rk2,u,8,-1,0.5,-1")
 OPTS = SolverOptions()
 
 
-def run(acts, seed, nepochs, train_ds, test_ds):
+def run(acts, seed, nepochs, train_ds, test_ds, eval_batch=64):
     model = build_model("premetanode10", in_planes=64, acts=(acts,) * 3)
     tx = make_optimizer("sgd", cyclic_lr(1e-7, 0.1, 3186), momentum=0.9,
                         weight_decay=5e-4, grad_clip=1.0)
@@ -89,22 +91,30 @@ def run(acts, seed, nepochs, train_ds, test_ds):
     t_train = time.time() - t0
 
     def data():
-        return batch_iterator(test_ds, 256, shuffle=False, drop_last=False,
-                              mean=CIFAR10_MEAN, std=CIFAR10_STD)
+        return batch_iterator(test_ds, eval_batch, shuffle=False,
+                              drop_last=False, mean=CIFAR10_MEAN,
+                              std=CIFAR10_STD)
 
     clean = accuracy(model, ts.params, ts.model_state, SOLVERS, OPTS,
                      data())
+    # Round-4 postmortem (/tmp/r4_phase3.log): the batch-256 GeLUpoly
+    # FGSM-eval program needed 36.13G HBM at compile (24G unpadded f32
+    # scan residuals + 12G fragmentation) vs the chip's 15.75G.  The
+    # adversarial evals therefore run at a small batch WITH scan
+    # rematerialization — accuracy is a per-example mean, so neither
+    # changes the value.
     key, k1 = jax.random.split(key)
     fgsm = adversarial_accuracy(
         model, ts.params, ts.model_state, SOLVERS, OPTS, data(),
         AttackConfig(mode="fgsm", eps=8 / 255, mean=CIFAR10_MEAN,
-                     std=CIFAR10_STD), k1)
+                     std=CIFAR10_STD), k1, remat=True)
     key, k2 = jax.random.split(key)
     pgd = adversarial_accuracy(
         model, ts.params, ts.model_state, SOLVERS, OPTS, data(),
         AttackConfig(mode="at", eps=8 / 255, pgd_lr=2 / 255, pgd_niter=7,
-                     mean=CIFAR10_MEAN, std=CIFAR10_STD), k2)
+                     mean=CIFAR10_MEAN, std=CIFAR10_STD), k2, remat=True)
     out = {"acts": acts, "seed": seed, "nepochs": nepochs,
+           "eval_batch": eval_batch,
            "clean": float(clean),
            "fgsm": float(fgsm), "pgd": float(pgd),
            "final_loss": losses[-1], "peak_loss": peak_loss,
@@ -123,49 +133,95 @@ def main():
                    default="GeLU:602,GeLUpoly:602,GeLU:603",
                    help="comma list of acts:seed arms; arms already in "
                         "--out are reused (idempotent chunking)")
+    p.add_argument("--eval_batch", type=int, default=64,
+                   help="adversarial-eval batch; 256 OOMs HBM at compile "
+                        "(round-4 postmortem in run())")
     args = p.parse_args()
 
     train_ds = synthetic_dataset(50000, (32, 32, 3), template_seed=7)
     test_ds = synthetic_dataset(10000, (32, 32, 3), template_seed=7,
                                 seed=1)
 
-    done = {}
+    # Stored arms are keyed by (acts, seed, nepochs) and NEVER dropped on
+    # rewrite — a smoke-length invocation must neither contaminate the
+    # full-schedule verdict nor erase full-schedule arms banked earlier.
+    stored = []
     if os.path.exists(args.out):
-        done = {(r["acts"], r["seed"]): r
-                for r in json.load(open(args.out))["arms"]}
+        stored = json.load(open(args.out))["arms"]
+    done = {(r["acts"], r["seed"], r.get("nepochs")): r for r in stored}
+
+    def persist(verdict=None):
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        doc = {"nepochs": args.nepochs, "arms": list(done.values())}
+        if verdict is not None:
+            doc["verdict"] = verdict
+        tmp = args.out + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f, indent=1)
+        os.replace(tmp, args.out)
+
     arms = []
     for spec in args.arms.split(","):
         acts, seed = spec.split(":")
-        k = (acts, int(seed))
-        # reuse only arms trained at THIS epoch count — a smoke-length
-        # invocation must never contaminate the full-schedule verdict
-        if k in done and done[k].get("nepochs") == args.nepochs:
+        k = (acts, int(seed), args.nepochs)
+        if k in done:
             print(f"reusing stored arm {k}", flush=True)
             arms.append(done[k])
         else:
-            arms.append(run(acts, int(seed), args.nepochs, train_ds,
-                            test_ds))
+            done[k] = run(acts, int(seed), args.nepochs, train_ds,
+                          test_ds, args.eval_batch)
+            arms.append(done[k])
             # persist after EVERY arm: chunk-resumable on a timeout
-            os.makedirs(os.path.dirname(args.out), exist_ok=True)
-            with open(args.out, "w") as f:
-                json.dump({"nepochs": args.nepochs, "arms": arms}, f,
-                          indent=1)
+            persist()
 
     by = {(a["acts"], a["seed"]): a for a in arms}
     needed = [("GeLU", 602), ("GeLUpoly", 602), ("GeLU", 603)]
     if all(k in by for k in needed):
         e2, p2, e3 = (by[needed[0]], by[needed[1]], by[needed[2]])
-        verdict = {}
+        # Accuracy endpoints saturate at 1.0 on this separable synthetic
+        # task (round-4 weak #4) — they are recorded but carry zero
+        # discriminating power when saturated.  The BINDING equivalence
+        # basis is the epoch-loss trajectory: the activation swap must
+        # not move the trajectory by more than a seed change does.
+        acc = {}
+        saturated = True
         for ep in ("fgsm", "pgd", "clean"):
             act_d = abs(p2[ep] - e2[ep])
             seed_d = abs(e3[ep] - e2[ep])
-            verdict[ep] = {"activation_delta": round(act_d, 4),
-                           "seed_delta": round(seed_d, 4),
-                           "within_seed_noise":
-                               act_d <= max(seed_d, 0.01)}
-        with open(args.out, "w") as f:
-            json.dump({"nepochs": args.nepochs, "arms": arms,
-                       "verdict": verdict}, f, indent=1)
+            saturated &= (e2[ep] == 1.0 and p2[ep] == 1.0
+                          and e3[ep] == 1.0)
+            acc[ep] = {"activation_delta": round(act_d, 4),
+                       "seed_delta": round(seed_d, 4),
+                       "within_seed_noise": act_d <= max(seed_d, 0.01)}
+
+        def traj_delta(a, b):
+            ds = [abs(x - y) for x, y in
+                  zip(a["epoch_losses"], b["epoch_losses"])]
+            return {"mean": round(sum(ds) / len(ds), 5),
+                    "max": round(max(ds), 5)}
+
+        act_t = traj_delta(p2, e2)
+        seed_t = traj_delta(e3, e2)
+        traj_ok = (act_t["mean"] <= max(seed_t["mean"], 0.01)
+                   and act_t["max"] <= max(seed_t["max"], 0.05))
+        acc_ok = all(v["within_seed_noise"] for v in acc.values())
+        verdict = {
+            "basis": "epoch-loss trajectories (binding) + accuracy "
+                     "endpoints (saturated at 1.0 on this task => "
+                     "recorded, non-binding)",
+            "loss_trajectory": {
+                "activation_delta": act_t, "seed_delta": seed_t,
+                "final_loss_activation_delta":
+                    round(abs(p2["final_loss"] - e2["final_loss"]), 5),
+                "final_loss_seed_delta":
+                    round(abs(e3["final_loss"] - e2["final_loss"]), 5),
+                "within_seed_noise": traj_ok,
+            },
+            "accuracies": acc,
+            "accuracies_saturated": saturated,
+            "equivalent": bool(traj_ok and acc_ok),
+        }
+        persist(verdict)
         print(json.dumps(verdict, indent=1), flush=True)
 
 
