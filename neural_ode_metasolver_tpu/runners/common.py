@@ -79,6 +79,19 @@ def setup_multihost(args):
     if not (args.coordinator or (args.num_hosts or 0) > 1
             or args.process_id is not None):
         return 0
+    # A partial flag set would hand None fields to
+    # jax.distributed.initialize, which off-pod hangs waiting for
+    # auto-detection or fails obscurely — require the full triple when
+    # any flag is given, with the missing flag named.
+    missing = [name for name, val in
+               (("--coordinator", args.coordinator),
+                ("--num_hosts", args.num_hosts),
+                ("--process_id", args.process_id)) if val is None]
+    if missing:
+        raise ValueError(
+            f"multi-host flags must be passed together (all of "
+            f"--coordinator/--num_hosts/--process_id, or none); "
+            f"missing: {' '.join(missing)}")
     from ..parallel import initialize_distributed
 
     if not getattr(args, "mesh", None):

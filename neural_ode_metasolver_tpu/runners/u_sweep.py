@@ -68,11 +68,22 @@ def parse_args(argv=None):
                         "sequentially — same per-seed PRNG chains, one "
                         "device dispatch per step across all arms")
     p.add_argument("--fleet_chunk", type=int, default=None,
-                   help="members per fleet program (default: all "
-                        "u x seed arms in one program); bound this on "
-                        "chip — 96 members OOMs a single v5p core at "
-                        "72 epochs, 32 is proven safe")
+                   help="members per fleet program (default: auto — all "
+                        "members in one program up to the measured "
+                        "HBM-safe optimum of 16, chunks of 16 beyond "
+                        "that; 96 members in one program OOMs a single "
+                        "core at 72 epochs — SCALING.md 'Fleet HBM "
+                        "bound')")
     return p.parse_args(argv)
+
+
+# Measured fleet amortization optimum AND HBM-safe program size on the
+# v5e core (SCALING.md round-4 curve: S=16 -> 2.29x per-member
+# amortization; the 96-member single program OOMs HBM).  Used as the
+# auto-chunk size when --fleet_chunk is unset and the member count
+# exceeds it, so an oversized grid chunks instead of compiling one
+# doomed program.
+FLEET_SAFE_CHUNK = 16
 
 
 def main(argv=None):
@@ -204,19 +215,40 @@ def _run_fleet(args, model, tx, ref_solver, opts, train_attack,
     72-epoch sweep (96 members) overflows a single core while the same
     members in 24-member programs fit; equal-size chunks reuse one
     compilation.  Member results are chunk-order-invariant (per-member
-    PRNG chains are derived from the seed, not the chunk).
+    PRNG chains are derived from the seed, not the chunk).  When unset,
+    member counts above FLEET_SAFE_CHUNK auto-chunk at that measured
+    bound instead of compiling one doomed program.  A short tail chunk
+    is padded with duplicate members to keep S constant — a smaller S is
+    a different grouped-conv lowering (different numerics stream), and
+    one campaign CSV must not mix two streams (the fleet_smoothing_lib
+    pattern); padded duplicate rows are dropped.
     """
     members = [(u0, seed) for u0 in args.u_grid for seed in args.seeds]
-    chunk = args.fleet_chunk or len(members)
+    chunk = args.fleet_chunk
+    if chunk is None:
+        chunk = len(members)
+        if chunk > FLEET_SAFE_CHUNK:
+            chunk = FLEET_SAFE_CHUNK
+            logger.warning(
+                f"--fleet_chunk unset with {len(members)} members: "
+                f"auto-chunking at the measured HBM-safe optimum "
+                f"{FLEET_SAFE_CHUNK} (SCALING.md 'Fleet HBM bound'); "
+                f"pass --fleet_chunk to override")
+    n_chunks = -(-len(members) // chunk)
     rows = []
     for lo in range(0, len(members), chunk):
         part = members[lo:lo + chunk]
-        if args.fleet_chunk:
-            logger.info(f"fleet chunk {lo // chunk + 1}/"
-                        f"{-(-len(members) // chunk)}: {len(part)} members")
+        n_real = len(part)
+        if n_real < chunk and n_chunks > 1:
+            logger.info(f"padding tail chunk {n_real} -> {chunk} members "
+                        f"to keep one numerics stream")
+            part = part + [part[0]] * (chunk - n_real)
+        if n_chunks > 1:
+            logger.info(f"fleet chunk {lo // chunk + 1}/{n_chunks}: "
+                        f"{n_real} members")
         rows += _run_fleet_members(args, model, tx, ref_solver, opts,
                                    train_attack, train_ds, test_ds,
-                                   logger, part)
+                                   logger, part)[:n_real]
     return rows
 
 

@@ -147,11 +147,15 @@ def main():
 
 def _finish(args, rows):
     os.makedirs(os.path.dirname(args.output_csv) or ".", exist_ok=True)
-    with open(args.output_csv, "w", newline="") as f:
+    # temp+rename: a timeout SIGTERM mid-write must never leave a
+    # truncated CSV that campaign drivers would treat as a done chunk
+    tmp = args.output_csv + ".tmp"
+    with open(tmp, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=["regime", "seed", "clean_acc",
                                           "robust_acc"])
         w.writeheader()
         w.writerows(rows)
+    os.replace(tmp, args.output_csv)
     print("wrote", args.output_csv)
 
     # Paired analysis: the arms share all randomness except the smoothing

@@ -78,6 +78,9 @@ def main():
                         "amortization comparison (epochs of steps: 1)")
     p.add_argument("--output_csv", type=str,
                    default="results/fleet_digits_campaign.csv")
+    p.add_argument("--force_oversize", action="store_true",
+                   help="launch a single fleet program beyond the "
+                        "measured 32-member HBM envelope anyway")
     p.add_argument("--timing_only", action="store_true",
                    help="stop after the step-time measurement (skips the "
                         "eval kernels and CSV) — for the amortization "
@@ -87,6 +90,20 @@ def main():
     us = args.u_grid if args.u_grid else [0.5]
     members = [(u, s) for u in us for s in args.seeds]
     S = len(members)
+    # Preflight the fleet HBM bound: this tool compiles ALL members into
+    # ONE program by design (it measures per-program amortization) — it
+    # must refuse sizes beyond the measured envelope instead of OOMing
+    # the chip mid-campaign (the round-4 96-member failure, SCALING.md
+    # "Fleet HBM bound").  S=32 is the largest size that has compiled
+    # and run; chunked campaigns belong in u_sweep --fleet/--fleet_chunk
+    # or fleet_smoothing_lib.
+    if S > 32 and not args.force_oversize:
+        raise SystemExit(
+            f"refusing a single {S}-member fleet program: 96 members "
+            f"OOM'd HBM and 32 is the largest measured-safe size "
+            f"(SCALING.md 'Fleet HBM bound'); chunk the campaign "
+            f"(u_sweep --fleet_chunk / fleet_smoothing_lib) or pass "
+            f"--force_oversize to try anyway")
     print(f"fleet: {S} members = {len(us)} u x {len(args.seeds)} seeds on "
           f"{jax.devices()[0].device_kind}", flush=True)
 

@@ -743,3 +743,75 @@ def test_u_sweep_fleet_matches_sequential(tmp_path):
                     - float(seq[k]["clean_acc"]))
             assert d <= 3 / 32, (k, path, fleet[k], seq[k])
             assert 0.0 <= float(fleet[k]["robust_acc"]) <= 1.0
+
+
+def test_u_sweep_fleet_oversized_auto_chunks(monkeypatch):
+    """An oversized fleet request must chunk at FLEET_SAFE_CHUNK instead
+    of compiling one doomed program (the 96-member OOM, SCALING.md
+    'Fleet HBM bound'), and a short tail chunk must be padded with
+    duplicate members to keep S constant (one numerics stream per CSV),
+    with the padded rows dropped."""
+    import logging
+
+    from neural_ode_metasolver_tpu.runners import u_sweep
+
+    calls = []
+
+    def fake_members(args, model, tx, ref_solver, opts, train_attack,
+                     train_ds, test_ds, logger, members):
+        calls.append(list(members))
+        return [{"u0": u, "seed": s, "clean_acc": 1.0, "robust_acc": 1.0}
+                for (u, s) in members]
+
+    monkeypatch.setattr(u_sweep, "_run_fleet_members", fake_members)
+    logger = logging.getLogger("test_u_sweep_guard")
+
+    def run(u_grid, seeds, fleet_chunk):
+        calls.clear()
+        args = u_sweep.parse_args(
+            ["--u_grid", ",".join(str(u) for u in u_grid),
+             "--seeds", ",".join(str(s) for s in seeds), "--fleet"]
+            + (["--fleet_chunk", str(fleet_chunk)] if fleet_chunk else []))
+        return u_sweep._run_fleet(args, None, None, None, None, None,
+                                  None, None, logger)
+
+    # 5u x 4seeds = 20 members, no --fleet_chunk: 16 + padded tail of 16
+    rows = run([0.1, 0.3, 0.5, 0.7, 0.9], [1, 2, 3, 4], None)
+    assert [len(c) for c in calls] == [16, 16]
+    assert len(calls[1]) - calls[1].count(calls[1][0]) == 3  # 4 real, 12 pads
+    assert len(rows) == 20
+    assert len({(r["u0"], r["seed"]) for r in rows}) == 20  # pads dropped
+
+    # explicit chunk honored; tail padded to the explicit size
+    rows = run([0.1, 0.3, 0.5, 0.7, 0.9], [1, 2, 3, 4], 8)
+    assert [len(c) for c in calls] == [8, 8, 8]
+    assert len(rows) == 20
+
+    # at or under the safe bound: one program, no padding
+    rows = run([0.1, 0.3], [1, 2, 3, 4], None)
+    assert [len(c) for c in calls] == [8]
+    assert len(rows) == 8
+
+
+def test_setup_multihost_rejects_partial_flags():
+    """A partial multi-host flag set must be a clear CLI error, not a
+    jax.distributed.initialize call with None fields (which off-pod
+    hangs in auto-detection or fails obscurely)."""
+    from argparse import Namespace
+
+    from neural_ode_metasolver_tpu.runners.common import setup_multihost
+
+    base = dict(coordinator=None, num_hosts=None, process_id=None,
+                mesh="data=-1")
+    # all absent: single-host, rank 0, no init
+    assert setup_multihost(Namespace(**base)) == 0
+
+    for partial in (
+        {"process_id": 0},
+        {"coordinator": "localhost:9876"},
+        {"coordinator": "localhost:9876", "num_hosts": 2},
+        {"num_hosts": 2, "process_id": 1},
+    ):
+        ns = Namespace(**{**base, **partial})
+        with pytest.raises(ValueError, match="missing: "):
+            setup_multihost(ns)
