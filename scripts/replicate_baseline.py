@@ -73,6 +73,11 @@ def parse_args(argv=None):
                    help="default f32 (parity); bf16 for ~1.8x faster runs")
     p.add_argument("--eval_batches", type=int, default=None,
                    help="cap eval batches (smoke uses 2)")
+    p.add_argument("--adv_eval_batch", type=int, default=None,
+                   help="adversarial-eval batch size (default: 64 on "
+                        "full, test_batch_size on smoke) — batch-256 "
+                        "attack programs OOM HBM at compile at high "
+                        "step counts; accuracy is batch-invariant")
     p.add_argument("--skip_training", action="store_true",
                    help="reuse existing checkpoints under --out_dir")
     p.add_argument("--force_cpu", action="store_true",
@@ -185,13 +190,25 @@ def _restore_for_eval(save_dir, args, synth_n, synth_seed):
     max_batches = args.eval_batches or (
         2 if args.subset == "smoke" else None)
 
-    def data():
-        it = batch_iterator(ds, margs.get("test_batch_size", 256),
+    def data(bs=None):
+        it = batch_iterator(ds, bs or margs.get("test_batch_size", 256),
                             shuffle=False, drop_last=False,
                             mean=CIFAR10_MEAN, std=CIFAR10_STD)
         return itertools.islice(it, max_batches) if max_batches else it
 
     return cfg, margs, model, ts, data
+
+
+def _adv_eval_batch(args, margs):
+    """Adversarial-eval batch: accuracy is a per-example mean, so batching
+    doesn't change the value — but the attack's input-gradient program's
+    HBM footprint scales with batch x n_steps (the round-4 gelu_equiv
+    postmortem: a batch-256 8-step FGSM eval compiled at 36.13G vs the
+    chip's 15.75G), and the step-sweep goes to 16 steps.  Cap it."""
+    if args.adv_eval_batch:
+        return args.adv_eval_batch
+    bs = margs.get("test_batch_size", 256)
+    return bs if args.subset == "smoke" else min(64, bs)
 
 
 def eval_arm(arm, seed, save_dir, args, steps_grid):
@@ -227,6 +244,7 @@ def eval_arm(arm, seed, save_dir, args, steps_grid):
                             pgd_niter=7, mean=CIFAR10_MEAN,
                             std=CIFAR10_STD),
     }
+    adv_bs = _adv_eval_batch(args, margs)
     out = {m: [] for m in attack_cfgs}
     for n in steps_grid:
         # the sn_test re-grid semantics (metrics.py:27-41): the TRAINED
@@ -239,8 +257,9 @@ def eval_arm(arm, seed, save_dir, args, steps_grid):
                                data())
             else:
                 acc = adversarial_accuracy(
-                    model, ts.params, ts.model_state, [s], opts, data(),
-                    acfg, jax.random.key(1000 + seed),
+                    model, ts.params, ts.model_state, [s], opts,
+                    data(adv_bs), acfg, jax.random.key(1000 + seed),
+                    remat=True,
                 )
             out[mode].append(float(acc))
             print(f"  [{arm} seed={seed}] steps={n} {mode}: {acc:.4f}",
@@ -270,6 +289,7 @@ def eval_regimes(save_dir, args):
     cfg, margs, model, ts, data = _restore_for_eval(
         save_dir, args, synth_n=256, synth_seed=99,
     )
+    adv_bs = _adv_eval_batch(args, margs)
 
     base = parse_solver_dsl(cfg["solvers"])[0]
     n = 2 if args.subset == "smoke" else 8
@@ -303,7 +323,8 @@ def eval_regimes(save_dir, args):
             members = [(P, S, [s], SolverOptions()) for s in spec.solvers]
             rec(spec.name,
                 accuracy_ensemble(model, members, data()),
-                adversarial_accuracy_ensemble(model, members, data(), fgsm,
+                adversarial_accuracy_ensemble(model, members,
+                                              data(adv_bs), fgsm,
                                               jax.random.key(k_adv)))
         else:
             ck = None if k_clean is None else jax.random.key(k_clean)
@@ -311,8 +332,8 @@ def eval_regimes(save_dir, args):
                 accuracy(model, P, S, list(spec.solvers), spec.options,
                          data(), key=ck),
                 adversarial_accuracy(model, P, S, list(spec.solvers),
-                                     spec.options, data(), fgsm,
-                                     jax.random.key(k_adv)))
+                                     spec.options, data(adv_bs), fgsm,
+                                     jax.random.key(k_adv), remat=True))
     return out
 
 
