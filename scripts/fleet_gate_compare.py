@@ -1,0 +1,78 @@
+"""Distributional fleet-vs-sequential gate compare, regime-keyed.
+
+Second protocol point for the estimator gate (round-5; the first is the
+72-epoch best-iterate window in SCALING.md "On-chip fleet-vs-sequential
+estimator gate"): stored SEQUENTIAL 36-epoch smoothing rows are compared
+against a FLEET re-run of the same seed window.  Per-seed values cannot
+match (different grouped-conv lowering diverges chaotically over a full
+schedule — training/fleet.py note); the gate is per-regime arm means
+within joint SE, plus the paired (smoothing − standalone) effect
+agreeing between streams.
+
+  python scripts/fleet_gate_compare.py results/fleet_gate_36ep_s1_16.csv \
+      results/digits_smoothing_36ep_42seed.csv --seed_lo 1 --seed_hi 16
+"""
+import argparse
+import csv
+import math
+
+
+def load(path, lo, hi):
+    by = {}
+    with open(path, newline="") as f:
+        for r in csv.DictReader(f):
+            s = int(r["seed"])
+            if lo <= s <= hi:
+                by.setdefault(r["regime"], {})[s] = (
+                    float(r["clean_acc"]), float(r["robust_acc"]))
+    return by
+
+
+def stats(vals):
+    n = len(vals)
+    m = sum(vals) / n
+    sd = math.sqrt(sum((v - m) ** 2 for v in vals) / (n - 1)) if n > 1 \
+        else 0.0
+    return m, sd / math.sqrt(n) if n > 1 else 0.0
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("fleet_csv")
+    p.add_argument("seq_csv")
+    p.add_argument("--seed_lo", type=int, default=1)
+    p.add_argument("--seed_hi", type=int, default=16)
+    args = p.parse_args()
+    fleet = load(args.fleet_csv, args.seed_lo, args.seed_hi)
+    seq = load(args.seq_csv, args.seed_lo, args.seed_hi)
+    regimes = sorted(set(fleet) & set(seq))
+    if not regimes:
+        raise SystemExit("no common regimes")
+    worst = 0.0
+    print(f"{'regime':>12} | {'metric':>6} | {'fleet mean+-sem':>18} | "
+          f"{'seq mean+-sem':>18} | {'diff':>9} | {'diff/SE':>7}")
+    for reg in regimes:
+        common = sorted(set(fleet[reg]) & set(seq[reg]))
+        for name, idx in (("clean", 0), ("robust", 1)):
+            fm, fse = stats([fleet[reg][s][idx] for s in common])
+            sm, sse = stats([seq[reg][s][idx] for s in common])
+            d, se = fm - sm, math.sqrt(fse ** 2 + sse ** 2) or float("inf")
+            worst = max(worst, abs(d) / se)
+            print(f"{reg:>12} | {name:>6} | {fm:.4f} +- {fse:.4f}    | "
+                  f"{sm:.4f} +- {sse:.4f}    | {d * 100:+7.3f}pt | "
+                  f"{d / se:+6.2f}")
+    # paired smoothing effect must agree between streams too
+    if {"standalone", "smoothing"} <= set(regimes):
+        for name, idx in (("clean", 0), ("robust", 1)):
+            for lbl, by in (("fleet", fleet), ("seq", seq)):
+                common = sorted(set(by["standalone"]) & set(by["smoothing"]))
+                dm, dse = stats([by["smoothing"][s][idx]
+                                 - by["standalone"][s][idx] for s in common])
+                print(f"paired smoothing-standalone {name} [{lbl}]: "
+                      f"{dm * 100:+.3f} +- {dse * 100:.3f} pt (n={len(common)})")
+    print(f"worst |diff|/SE across cells: {worst:.2f} "
+          f"({'OK (< 3)' if worst < 3 else 'INVESTIGATE'})")
+
+
+if __name__ == "__main__":
+    main()
