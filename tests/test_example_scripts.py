@@ -147,3 +147,64 @@ def test_smoothing_best_iterate_fleet_matches_sequential(tmp_path):
         for col in ("robust_acc", "final_robust"):
             assert 0.0 <= float(fleet[k][col]) <= 1.0
         assert 0 <= int(fleet[k]["best_epoch"]) <= 1, (k, fleet[k])
+
+
+def test_gelu_equiv_36ep_resume_merge_and_verdict(tmp_path, monkeypatch):
+    """The equivalence driver must (a) never drop banked arms at other
+    epoch counts on rewrite (a smoke run erased the full-schedule erf
+    arm in round 4's original design), (b) reuse arms keyed by
+    (acts, seed, nepochs), and (c) emit a trajectory-based verdict —
+    accuracies saturate at 1.0 on the synthetic task and are
+    non-binding."""
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "gelu_equiv_36ep",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "gelu_equiv_36ep.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = str(tmp_path / "equiv.json")
+    full = {"acts": "GeLU", "seed": 602, "nepochs": 36, "clean": 1.0,
+            "fgsm": 1.0, "pgd": 1.0, "final_loss": 1e-4,
+            "peak_loss": 5e-4, "epoch_losses": [2.3, 1.6] + [1e-3] * 34,
+            "train_s": 1.0}
+    with open(out, "w") as f:
+        json.dump({"nepochs": 36, "arms": [full]}, f)
+
+    calls = []
+
+    def fake_run(acts, seed, nepochs, tr, te, eval_batch=64):
+        calls.append((acts, seed, nepochs))
+        base = ([2.31, 1.58] if seed == 602 else [2.2, 1.7])
+        base = base + [1.2e-3] * (nepochs - 2)
+        return {"acts": acts, "seed": seed, "nepochs": nepochs,
+                "eval_batch": eval_batch, "clean": 1.0, "fgsm": 1.0,
+                "pgd": 1.0, "final_loss": base[-1], "peak_loss": 1e-3,
+                "epoch_losses": base, "train_s": 1.0}
+
+    monkeypatch.setattr(mod, "run", fake_run)
+    monkeypatch.setattr(mod, "synthetic_dataset", lambda *a, **k: None)
+    argv = ["x", "--out", out,
+            "--arms", "GeLU:602,GeLUpoly:602,GeLU:603"]
+
+    # smoke-length run: banked 36-epoch arm must survive the rewrite
+    monkeypatch.setattr(sys, "argv", argv + ["--nepochs", "2"])
+    mod.main()
+    d = json.load(open(out))
+    keys = {(a["acts"], a["seed"], a["nepochs"]) for a in d["arms"]}
+    assert ("GeLU", 602, 36) in keys
+    assert ("GeLUpoly", 602, 2) in keys
+
+    # full run: reuses the banked erf arm, runs only the 2 missing arms
+    calls.clear()
+    monkeypatch.setattr(sys, "argv", argv + ["--nepochs", "36"])
+    mod.main()
+    assert calls == [("GeLUpoly", 602, 36), ("GeLU", 603, 36)]
+    d = json.load(open(out))
+    v = d["verdict"]
+    assert v["accuracies_saturated"] is True
+    assert "loss_trajectory" in v and v["equivalent"] is True
+    assert v["loss_trajectory"]["within_seed_noise"] is True
