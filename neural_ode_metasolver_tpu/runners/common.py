@@ -79,19 +79,26 @@ def setup_multihost(args):
     if not (args.coordinator or (args.num_hosts or 0) > 1
             or args.process_id is not None):
         return 0
-    # A partial flag set would hand None fields to
-    # jax.distributed.initialize, which off-pod hangs waiting for
-    # auto-detection or fails obscurely — require the full triple when
-    # any flag is given, with the missing flag named.
-    missing = [name for name, val in
-               (("--coordinator", args.coordinator),
-                ("--num_hosts", args.num_hosts),
-                ("--process_id", args.process_id)) if val is None]
-    if missing:
+    # Valid flag shapes: --coordinator alone (auto-detecting envs — TPU
+    # pods/Slurm resolve num_processes/process_id themselves), or the
+    # full triple.  Anything else hands None fields to
+    # jax.distributed.initialize that off-pod hang waiting for
+    # auto-detection or fail obscurely — reject with the missing flag
+    # named.
+    if args.coordinator is None:
+        given = [n for n, v in (("--num_hosts", args.num_hosts),
+                                ("--process_id", args.process_id))
+                 if v is not None]
         raise ValueError(
-            f"multi-host flags must be passed together (all of "
-            f"--coordinator/--num_hosts/--process_id, or none); "
-            f"missing: {' '.join(missing)}")
+            f"{' '.join(given)} given without --coordinator; pass "
+            f"--coordinator too (auto-detecting TPU pod/Slurm envs), or "
+            f"the full --coordinator/--num_hosts/--process_id triple")
+    if (args.num_hosts is None) != (args.process_id is None):
+        missing = ("--process_id" if args.process_id is None
+                   else "--num_hosts")
+        raise ValueError(
+            f"--num_hosts/--process_id must be passed together "
+            f"(or both omitted for auto-detection); missing: {missing}")
     from ..parallel import initialize_distributed
 
     if not getattr(args, "mesh", None):

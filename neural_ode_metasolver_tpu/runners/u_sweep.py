@@ -189,11 +189,18 @@ def main(argv=None):
 
 
 def _write_csv(path, rows):
-    with open(path, "w", newline="") as f:
+    # temp+rename: campaign drivers treat an existing CSV as a completed
+    # chunk, so a timeout SIGTERM mid-write must never leave a truncated
+    # file (same pattern as the smoothing drivers' _finish)
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=["u0", "seed", "clean_acc",
                                           "robust_acc"])
         w.writeheader()
         w.writerows(rows)
+    os.replace(tmp, path)
 
 
 def _run_fleet(args, model, tx, ref_solver, opts, train_attack,
@@ -228,11 +235,18 @@ def _run_fleet(args, model, tx, ref_solver, opts, train_attack,
     if chunk is None:
         chunk = len(members)
         if chunk > FLEET_SAFE_CHUNK:
-            chunk = FLEET_SAFE_CHUNK
+            # prefer a divisor of the member count (no padded tail = no
+            # throwaway full-schedule training); fall back to the
+            # measured optimum + padding when no decent divisor exists
+            divisors = [d for d in range(FLEET_SAFE_CHUNK, 0, -1)
+                        if len(members) % d == 0]
+            chunk = (divisors[0] if divisors
+                     and divisors[0] > FLEET_SAFE_CHUNK // 2
+                     else FLEET_SAFE_CHUNK)
             logger.warning(
                 f"--fleet_chunk unset with {len(members)} members: "
-                f"auto-chunking at the measured HBM-safe optimum "
-                f"{FLEET_SAFE_CHUNK} (SCALING.md 'Fleet HBM bound'); "
+                f"auto-chunking at {chunk} (measured HBM-safe optimum "
+                f"{FLEET_SAFE_CHUNK} — SCALING.md 'Fleet HBM bound'); "
                 f"pass --fleet_chunk to override")
     n_chunks = -(-len(members) // chunk)
     rows = []

@@ -362,10 +362,17 @@ def make_ensemble_attacked_probs(
     *,
     mesh=None,
     member_axis: str = "ensemble",
+    remat: bool = False,
 ):
     """Build the jitted joint-attack + prob-average closure
     ``attacked_probs(members, x, y, keys)`` once (reuse and
-    params-as-call-arguments rationale as :func:`make_ensemble_probs`)."""
+    params-as-call-arguments rationale as :func:`make_ensemble_probs`).
+
+    ``remat`` rematerializes each member forward inside the joint
+    attack's input-gradient graph — the ensemble attack differentiates
+    through EVERY member's full ODE solve at once, so its residual
+    footprint is n_members x the single-model attack's (which alone
+    compiled at 36.13G HBM at batch 256 — the round-4 postmortem)."""
     n_members = len(members)
 
     if mesh is not None:
@@ -380,10 +387,11 @@ def make_ensemble_attacked_probs(
             # the vmapped mean-prob closure feeds the SAME attack core as
             # the member-loop path (fgsm2ensemble) — one copy of the
             # reference-parity semantics for both
+            mean_probs = lambda xn: jnp.mean(
+                vprobs(params, state, u_stack, v_stack, xn, keys),
+                axis=0)
             xa, _ = fgsm_mean_prob_attack(
-                lambda xn: jnp.mean(
-                    vprobs(params, state, u_stack, v_stack, xn, keys),
-                    axis=0),
+                jax.checkpoint(mean_probs) if remat else mean_probs,
                 x, y, attack_cfg.eps, attack_cfg.mean, attack_cfg.std,
             )
             return jnp.mean(
@@ -414,8 +422,11 @@ def make_ensemble_attacked_probs(
             for (params, state, solvers), options, k in zip(
                 dyn, options_list, keys)
         ]
-        xa, _ = fgsm2ensemble(fwds, x, y, attack_cfg.eps, attack_cfg.mean,
-                              attack_cfg.std)
+        # remat only the attack's differentiated forwards; the post-attack
+        # prob average below is grad-free and keeps the plain closures
+        atk_fwds = [jax.checkpoint(f) for f in fwds] if remat else fwds
+        xa, _ = fgsm2ensemble(atk_fwds, x, y, attack_cfg.eps,
+                              attack_cfg.mean, attack_cfg.std)
         probs = None
         for fwd in fwds:
             p = jax.nn.softmax(fwd(xa), axis=-1)
@@ -445,6 +456,7 @@ def adversarial_accuracy_ensemble(
     mesh=None,
     member_axis: str = "ensemble",
     predict=None,
+    remat: bool = False,
 ) -> float:
     """FGSM2Ensemble attack + prob-averaged eval (nb cell 25; fgsm.py:109-155).
 
@@ -458,7 +470,8 @@ def adversarial_accuracy_ensemble(
     ``members`` are still what gets attacked and evaluated)."""
     attacked_probs = (
         predict if predict is not None else make_ensemble_attacked_probs(
-            model, members, attack_cfg, mesh=mesh, member_axis=member_axis
+            model, members, attack_cfg, mesh=mesh, member_axis=member_axis,
+            remat=remat,
         )
     )
 

@@ -53,19 +53,31 @@ def main():
           f"{'seq mean+-sem':>18} | {'diff':>9} | {'diff/SE':>7}")
     for reg in regimes:
         common = sorted(set(fleet[reg]) & set(seq[reg]))
+        if not common:
+            raise SystemExit(
+                f"regime {reg!r}: no common seeds in "
+                f"[{args.seed_lo}, {args.seed_hi}] between the two CSVs")
         for name, idx in (("clean", 0), ("robust", 1)):
             fm, fse = stats([fleet[reg][s][idx] for s in common])
             sm, sse = stats([seq[reg][s][idx] for s in common])
-            d, se = fm - sm, math.sqrt(fse ** 2 + sse ** 2) or float("inf")
-            worst = max(worst, abs(d) / se)
+            d, se = fm - sm, math.sqrt(fse ** 2 + sse ** 2)
+            # zero joint SE (n=1 or tied values): any nonzero diff is
+            # infinitely many SEs — flag it, never report +0.00
+            ratio = 0.0 if (se == 0 and d == 0) else (
+                float("inf") if se == 0 else d / se)
+            worst = max(worst, abs(ratio))
             print(f"{reg:>12} | {name:>6} | {fm:.4f} +- {fse:.4f}    | "
                   f"{sm:.4f} +- {sse:.4f}    | {d * 100:+7.3f}pt | "
-                  f"{d / se:+6.2f}")
+                  f"{ratio:+6.2f}")
     # paired smoothing effect must agree between streams too
     if {"standalone", "smoothing"} <= set(regimes):
         for name, idx in (("clean", 0), ("robust", 1)):
             for lbl, by in (("fleet", fleet), ("seq", seq)):
                 common = sorted(set(by["standalone"]) & set(by["smoothing"]))
+                if not common:
+                    print(f"paired smoothing-standalone {name} [{lbl}]: "
+                          f"no paired seeds")
+                    continue
                 dm, dse = stats([by["smoothing"][s][idx]
                                  - by["standalone"][s][idx] for s in common])
                 print(f"paired smoothing-standalone {name} [{lbl}]: "

@@ -50,11 +50,15 @@ def main():
             fm, _, fse = stats([v[idx] for v in fleet[u]])
             sm, _, sse = stats([v[idx] for v in seq[u]])
             d = fm - sm
-            se = math.sqrt(fse ** 2 + sse ** 2) or float("inf")
-            worst = max(worst, abs(d) / se)
+            se = math.sqrt(fse ** 2 + sse ** 2)
+            # zero joint SE (n=1 or tied values): any nonzero diff is
+            # infinitely many SEs — flag it, never report +0.00
+            ratio = 0.0 if (se == 0 and d == 0) else (
+                float("inf") if se == 0 else d / se)
+            worst = max(worst, abs(ratio))
             print(f"{u:>8.4f} | {name:>6} | {fm:.4f} +- {fse:.4f}    | "
                   f"{sm:.4f} +- {sse:.4f}    | {d * 100:+7.3f}pt | "
-                  f"{d / se:+6.2f}")
+                  f"{ratio:+6.2f}")
     # u-trend (the null both streams should show): range of per-u robust
     # means, fleet stream
     rm = {u: stats([v[1] for v in fleet[u]])[0] for u in us}

@@ -145,16 +145,25 @@ def main():
     # Stored arms are keyed by (acts, seed, nepochs) and NEVER dropped on
     # rewrite — a smoke-length invocation must neither contaminate the
     # full-schedule verdict nor erase full-schedule arms banked earlier.
-    stored = []
+    # Verdicts are likewise keyed by epoch count in "verdicts"; the
+    # top-level "verdict" key (what the chip drivers' done-checks look
+    # for) is reserved for the FULL 36-epoch schedule, so a smoke run
+    # can never mark the chip task complete or overwrite its verdict.
+    stored, verdicts = [], {}
     if os.path.exists(args.out):
-        stored = json.load(open(args.out))["arms"]
+        old = json.load(open(args.out))
+        stored = old["arms"]
+        verdicts = old.get("verdicts", {})
+        if "verdict" in old and str(old.get("nepochs")) not in verdicts:
+            verdicts[str(old["nepochs"])] = old["verdict"]
     done = {(r["acts"], r["seed"], r.get("nepochs")): r for r in stored}
 
-    def persist(verdict=None):
+    def persist():
         os.makedirs(os.path.dirname(args.out), exist_ok=True)
-        doc = {"nepochs": args.nepochs, "arms": list(done.values())}
-        if verdict is not None:
-            doc["verdict"] = verdict
+        doc = {"nepochs": args.nepochs, "arms": list(done.values()),
+               "verdicts": verdicts}
+        if "36" in verdicts:
+            doc["verdict"] = verdicts["36"]
         tmp = args.out + ".tmp"
         with open(tmp, "w") as f:
             json.dump(doc, f, indent=1)
@@ -206,9 +215,11 @@ def main():
                    and act_t["max"] <= max(seed_t["max"], 0.05))
         acc_ok = all(v["within_seed_noise"] for v in acc.values())
         verdict = {
-            "basis": "epoch-loss trajectories (binding) + accuracy "
-                     "endpoints (saturated at 1.0 on this task => "
-                     "recorded, non-binding)",
+            "basis": ("epoch-loss trajectories (binding); accuracy "
+                      "endpoints saturated at 1.0 on this task => "
+                      "recorded, vacuously satisfied" if saturated else
+                      "epoch-loss trajectories AND accuracy endpoints "
+                      "(both binding — accuracies did not saturate)"),
             "loss_trajectory": {
                 "activation_delta": act_t, "seed_delta": seed_t,
                 "final_loss_activation_delta":
@@ -221,7 +232,8 @@ def main():
             "accuracies_saturated": saturated,
             "equivalent": bool(traj_ok and acc_ok),
         }
-        persist(verdict)
+        verdicts[str(args.nepochs)] = verdict
+        persist()
         print(json.dumps(verdict, indent=1), flush=True)
 
 

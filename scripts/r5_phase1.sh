@@ -23,8 +23,12 @@ fi
 echo "== phase 1 start $(date -u +%H:%M:%S) =="
 
 fingerprint() {
-  grep -E "Error|error:|rc=|Exceeded|RESOURCE" "$1" | tail -4 \
-    | md5sum | cut -d' ' -f1
+  # empty when the log has no error lines (e.g. a SIGTERM from timeout
+  # mid-progress) — the caller must treat empty as "no match", never as
+  # a fingerprint, or two unrelated timeouts would falsely halt
+  local lines
+  lines=$(grep -E "Error|error:|Exceeded|RESOURCE" "$1" | tail -4)
+  [ -n "$lines" ] && printf '%s' "$lines" | md5sum | cut -d' ' -f1
 }
 
 halt_note() {
@@ -55,8 +59,10 @@ for try in 1 2 3 4; do
   tail -3 "$log"
   if [ $rc -ne 0 ]; then
     fp=$(fingerprint "$log")
-    echo "gelu rc=${rc} fingerprint=${fp}"
-    if [ -n "$prev_fp" ] && [ "$fp" = "$prev_fp" ]; then
+    echo "gelu rc=${rc} fingerprint=${fp:-none}"
+    # rc=124 (timeout) with per-arm banking is forward progress, and an
+    # empty fingerprint has nothing to compare — both are transient
+    if [ $rc -ne 124 ] && [ -n "$fp" ] && [ "$fp" = "$prev_fp" ]; then
       halt_note "gelu_equiv_36ep" "$log"
       break
     fi
@@ -81,8 +87,8 @@ else
     tail -3 "$log"
     if [ $rc -ne 0 ] && [ ! -f "$out" ]; then
       fp=$(fingerprint "$log")
-      echo "gate rc=${rc} fingerprint=${fp}"
-      if [ -n "$prev_fp" ] && [ "$fp" = "$prev_fp" ]; then
+      echo "gate rc=${rc} fingerprint=${fp:-none}"
+      if [ $rc -ne 124 ] && [ -n "$fp" ] && [ "$fp" = "$prev_fp" ]; then
         halt_note "36ep fleet gate" "$log"
         break
       fi

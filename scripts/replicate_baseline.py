@@ -325,7 +325,8 @@ def eval_regimes(save_dir, args):
                 accuracy_ensemble(model, members, data()),
                 adversarial_accuracy_ensemble(model, members,
                                               data(adv_bs), fgsm,
-                                              jax.random.key(k_adv)))
+                                              jax.random.key(k_adv),
+                                              remat=True))
         else:
             ck = None if k_clean is None else jax.random.key(k_clean)
             rec(spec.name,

@@ -190,13 +190,16 @@ def test_gelu_equiv_36ep_resume_merge_and_verdict(tmp_path, monkeypatch):
     argv = ["x", "--out", out,
             "--arms", "GeLU:602,GeLUpoly:602,GeLU:603"]
 
-    # smoke-length run: banked 36-epoch arm must survive the rewrite
+    # smoke-length run: banked 36-epoch arm must survive the rewrite,
+    # and a smoke verdict must NOT claim the top-level "verdict" key
+    # (the chip drivers' done-check — reserved for the full schedule)
     monkeypatch.setattr(sys, "argv", argv + ["--nepochs", "2"])
     mod.main()
     d = json.load(open(out))
     keys = {(a["acts"], a["seed"], a["nepochs"]) for a in d["arms"]}
     assert ("GeLU", 602, 36) in keys
     assert ("GeLUpoly", 602, 2) in keys
+    assert "verdict" not in d and "2" in d["verdicts"]
 
     # full run: reuses the banked erf arm, runs only the 2 missing arms
     calls.clear()
@@ -205,6 +208,15 @@ def test_gelu_equiv_36ep_resume_merge_and_verdict(tmp_path, monkeypatch):
     assert calls == [("GeLUpoly", 602, 36), ("GeLU", 603, 36)]
     d = json.load(open(out))
     v = d["verdict"]
+    assert v == d["verdicts"]["36"] and "2" in d["verdicts"]
     assert v["accuracies_saturated"] is True
     assert "loss_trajectory" in v and v["equivalent"] is True
     assert v["loss_trajectory"]["within_seed_noise"] is True
+
+    # a later smoke run must not erase or overwrite the banked 36-epoch
+    # verdict
+    monkeypatch.setattr(sys, "argv",
+                        argv + ["--nepochs", "3"])
+    mod.main()
+    d = json.load(open(out))
+    assert d["verdict"] == v and d["verdicts"]["36"] == v

@@ -775,12 +775,24 @@ def test_u_sweep_fleet_oversized_auto_chunks(monkeypatch):
         return u_sweep._run_fleet(args, None, None, None, None, None,
                                   None, None, logger)
 
-    # 5u x 4seeds = 20 members, no --fleet_chunk: 16 + padded tail of 16
+    # 5u x 4seeds = 20 members, no --fleet_chunk: the largest divisor
+    # <= 16 (here 10) wins — equal chunks, zero padded (throwaway) members
     rows = run([0.1, 0.3, 0.5, 0.7, 0.9], [1, 2, 3, 4], None)
-    assert [len(c) for c in calls] == [16, 16]
-    assert len(calls[1]) - calls[1].count(calls[1][0]) == 3  # 4 real, 12 pads
+    assert [len(c) for c in calls] == [10, 10]
     assert len(rows) == 20
-    assert len({(r["u0"], r["seed"]) for r in rows}) == 20  # pads dropped
+    assert len({(r["u0"], r["seed"]) for r in rows}) == 20
+
+    # 4u x 24seeds = 96: divisor 16 exactly (the measured optimum)
+    rows = run([0.1, 0.3, 0.5, 0.7], list(range(1, 25)), None)
+    assert [len(c) for c in calls] == [16] * 6
+    assert len(rows) == 96
+
+    # prime member count (17): no decent divisor -> 16 + padded tail
+    rows = run([0.5], list(range(1, 18)), None)
+    assert [len(c) for c in calls] == [16, 16]
+    assert len(calls[1]) - calls[1].count(calls[1][0]) == 0  # 1 real, 15 pads
+    assert len(rows) == 17
+    assert len({(r["u0"], r["seed"]) for r in rows}) == 17  # pads dropped
 
     # explicit chunk honored; tail padded to the explicit size
     rows = run([0.1, 0.3, 0.5, 0.7, 0.9], [1, 2, 3, 4], 8)
@@ -806,12 +818,15 @@ def test_setup_multihost_rejects_partial_flags():
     # all absent: single-host, rank 0, no init
     assert setup_multihost(Namespace(**base)) == 0
 
-    for partial in (
-        {"process_id": 0},
-        {"coordinator": "localhost:9876"},
-        {"coordinator": "localhost:9876", "num_hosts": 2},
-        {"num_hosts": 2, "process_id": 1},
+    # hang-prone partial shapes are rejected with the missing flag named
+    for partial, msg in (
+        ({"process_id": 0}, "without --coordinator"),
+        ({"num_hosts": 2, "process_id": 1}, "without --coordinator"),
+        ({"coordinator": "localhost:9876", "num_hosts": 2},
+         "missing: --process_id"),
+        ({"coordinator": "localhost:9876", "process_id": 0},
+         "missing: --num_hosts"),
     ):
         ns = Namespace(**{**base, **partial})
-        with pytest.raises(ValueError, match="missing: "):
+        with pytest.raises(ValueError, match=msg):
             setup_multihost(ns)

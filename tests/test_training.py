@@ -403,6 +403,14 @@ def test_mesh_sharded_ensemble_eval_matches_loop():
         jax.random.key(2), mesh=mesh)
     assert r_loop == pytest.approx(r_mesh, abs=1e-6)
 
+    # remat is value-neutral on BOTH paths (it only reshapes the joint
+    # attack's input-gradient graph — the HBM fix for big evals)
+    for mesh_arg in (None, mesh):
+        r_remat = adversarial_accuracy_ensemble(
+            model, members, batch_iterator(ds, 16, shuffle=False),
+            fgsm_cfg, jax.random.key(2), mesh=mesh_arg, remat=True)
+        assert r_remat == pytest.approx(r_loop, abs=1e-6)
+
     # heterogeneous members (different step counts) must be rejected
     het = members[:1] + [
         (ts.params, ts.model_state,
