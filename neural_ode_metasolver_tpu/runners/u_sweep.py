@@ -189,18 +189,13 @@ def main(argv=None):
 
 
 def _write_csv(path, rows):
-    # temp+rename: campaign drivers treat an existing CSV as a completed
-    # chunk, so a timeout SIGTERM mid-write must never leave a truncated
-    # file (same pattern as the smoothing drivers' _finish)
-    import os
+    from ..utils import atomic_write
 
-    tmp = path + ".tmp"
-    with open(tmp, "w", newline="") as f:
+    with atomic_write(path, newline="") as f:
         w = csv.DictWriter(f, fieldnames=["u0", "seed", "clean_acc",
                                           "robust_acc"])
         w.writeheader()
         w.writerows(rows)
-    os.replace(tmp, path)
 
 
 def _run_fleet(args, model, tx, ref_solver, opts, train_attack,
@@ -232,17 +227,21 @@ def _run_fleet(args, model, tx, ref_solver, opts, train_attack,
     """
     members = [(u0, seed) for u0 in args.u_grid for seed in args.seeds]
     chunk = args.fleet_chunk
+    if chunk is not None and chunk < 1:
+        raise ValueError(f"--fleet_chunk must be >= 1, got {chunk} "
+                         f"(omit the flag to auto-chunk at the measured "
+                         f"HBM-safe bound {FLEET_SAFE_CHUNK})")
     if chunk is None:
         chunk = len(members)
         if chunk > FLEET_SAFE_CHUNK:
-            # prefer a divisor of the member count (no padded tail = no
-            # throwaway full-schedule training); fall back to the
-            # measured optimum + padding when no decent divisor exists
-            divisors = [d for d in range(FLEET_SAFE_CHUNK, 0, -1)
-                        if len(members) % d == 0]
-            chunk = (divisors[0] if divisors
-                     and divisors[0] > FLEET_SAFE_CHUNK // 2
-                     else FLEET_SAFE_CHUNK)
+            # equal-size chunks only (one compilation, one numerics
+            # stream); among HBM-safe sizes in (FLEET_SAFE_CHUNK/2,
+            # FLEET_SAFE_CHUNK], minimize padded throwaway members —
+            # each pad is a full-schedule training — then prefer the
+            # larger chunk (fewer programs)
+            n = len(members)
+            chunk = min(range(FLEET_SAFE_CHUNK, FLEET_SAFE_CHUNK // 2, -1),
+                        key=lambda c: (-(-n // c) * c - n, -c))
             logger.warning(
                 f"--fleet_chunk unset with {len(members)} members: "
                 f"auto-chunking at {chunk} (measured HBM-safe optimum "

@@ -8,6 +8,7 @@ a fixed key by construction.
 """
 from __future__ import annotations
 
+import contextlib
 import logging
 import os
 import random
@@ -15,7 +16,30 @@ import random
 import jax
 import numpy as np
 
-__all__ = ["fix_seeds", "count_parameters", "makedirs", "get_logger"]
+__all__ = ["fix_seeds", "count_parameters", "makedirs", "get_logger",
+           "atomic_write"]
+
+
+@contextlib.contextmanager
+def atomic_write(path: str, mode: str = "w", **open_kwargs):
+    """Open ``path + ".tmp"`` for writing and ``os.replace`` it onto
+    ``path`` on clean exit.
+
+    An interrupt (timeout SIGTERM, OOM kill) mid-write can therefore
+    never leave a truncated file at ``path`` — campaign drivers treat an
+    existing output file as a completed chunk, so a torn write would be
+    silently skipped as done on the re-run.  On an exception the temp
+    file is removed and ``path`` is untouched.
+    """
+    tmp = path + ".tmp"
+    try:
+        with open(tmp, mode, **open_kwargs) as f:
+            yield f
+    except BaseException:
+        with contextlib.suppress(OSError):
+            os.remove(tmp)
+        raise
+    os.replace(tmp, path)
 
 
 def fix_seeds(seed: int = 502) -> jax.Array:

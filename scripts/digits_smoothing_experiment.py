@@ -146,16 +146,14 @@ def main():
 
 
 def _finish(args, rows):
+    from neural_ode_metasolver_tpu.utils import atomic_write
+
     os.makedirs(os.path.dirname(args.output_csv) or ".", exist_ok=True)
-    # temp+rename: a timeout SIGTERM mid-write must never leave a
-    # truncated CSV that campaign drivers would treat as a done chunk
-    tmp = args.output_csv + ".tmp"
-    with open(tmp, "w", newline="") as f:
+    with atomic_write(args.output_csv, newline="") as f:
         w = csv.DictWriter(f, fieldnames=["regime", "seed", "clean_acc",
                                           "robust_acc"])
         w.writeheader()
         w.writerows(rows)
-    os.replace(tmp, args.output_csv)
     print("wrote", args.output_csv)
 
     # Paired analysis: the arms share all randomness except the smoothing

@@ -16,6 +16,8 @@ import argparse
 import csv
 import math
 
+from compare_lib import diff_over_se, stats
+
 
 def load(path, lo, hi):
     by = {}
@@ -26,14 +28,6 @@ def load(path, lo, hi):
                 by.setdefault(r["regime"], {})[s] = (
                     float(r["clean_acc"]), float(r["robust_acc"]))
     return by
-
-
-def stats(vals):
-    n = len(vals)
-    m = sum(vals) / n
-    sd = math.sqrt(sum((v - m) ** 2 for v in vals) / (n - 1)) if n > 1 \
-        else 0.0
-    return m, sd / math.sqrt(n) if n > 1 else 0.0
 
 
 def main():
@@ -58,30 +52,39 @@ def main():
                 f"regime {reg!r}: no common seeds in "
                 f"[{args.seed_lo}, {args.seed_hi}] between the two CSVs")
         for name, idx in (("clean", 0), ("robust", 1)):
-            fm, fse = stats([fleet[reg][s][idx] for s in common])
-            sm, sse = stats([seq[reg][s][idx] for s in common])
+            fm, _, fse = stats([fleet[reg][s][idx] for s in common])
+            sm, _, sse = stats([seq[reg][s][idx] for s in common])
             d, se = fm - sm, math.sqrt(fse ** 2 + sse ** 2)
-            # zero joint SE (n=1 or tied values): any nonzero diff is
-            # infinitely many SEs — flag it, never report +0.00
-            ratio = 0.0 if (se == 0 and d == 0) else (
-                float("inf") if se == 0 else d / se)
+            ratio = diff_over_se(d, se)
             worst = max(worst, abs(ratio))
             print(f"{reg:>12} | {name:>6} | {fm:.4f} +- {fse:.4f}    | "
                   f"{sm:.4f} +- {sse:.4f}    | {d * 100:+7.3f}pt | "
                   f"{ratio:+6.2f}")
-    # paired smoothing effect must agree between streams too
+    # paired smoothing effect must agree between streams too — this is
+    # part of the gate, so its stream disagreement feeds `worst`
     if {"standalone", "smoothing"} <= set(regimes):
         for name, idx in (("clean", 0), ("robust", 1)):
+            effects = {}
             for lbl, by in (("fleet", fleet), ("seq", seq)):
                 common = sorted(set(by["standalone"]) & set(by["smoothing"]))
                 if not common:
                     print(f"paired smoothing-standalone {name} [{lbl}]: "
                           f"no paired seeds")
                     continue
-                dm, dse = stats([by["smoothing"][s][idx]
-                                 - by["standalone"][s][idx] for s in common])
+                dm, _, dse = stats([by["smoothing"][s][idx]
+                                    - by["standalone"][s][idx]
+                                    for s in common])
+                effects[lbl] = (dm, dse)
                 print(f"paired smoothing-standalone {name} [{lbl}]: "
                       f"{dm * 100:+.3f} +- {dse * 100:.3f} pt (n={len(common)})")
+            if len(effects) == 2:
+                d = effects["fleet"][0] - effects["seq"][0]
+                se = math.sqrt(effects["fleet"][1] ** 2
+                               + effects["seq"][1] ** 2)
+                ratio = diff_over_se(d, se)
+                worst = max(worst, abs(ratio))
+                print(f"paired-effect stream diff {name}: {d * 100:+.3f} pt "
+                      f"-> {ratio:+.2f} SE")
     print(f"worst |diff|/SE across cells: {worst:.2f} "
           f"({'OK (< 3)' if worst < 3 else 'INVESTIGATE'})")
 

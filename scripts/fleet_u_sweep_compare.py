@@ -15,6 +15,8 @@ import argparse
 import csv
 import math
 
+from compare_lib import diff_over_se, stats
+
 
 def load(path):
     by_u = {}
@@ -23,14 +25,6 @@ def load(path):
             by_u.setdefault(float(r["u0"]), []).append(
                 (float(r["clean_acc"]), float(r["robust_acc"])))
     return by_u
-
-
-def stats(vals):
-    n = len(vals)
-    m = sum(vals) / n
-    sd = math.sqrt(sum((v - m) ** 2 for v in vals) / (n - 1)) if n > 1 \
-        else 0.0
-    return m, sd, sd / math.sqrt(n) if n > 1 else 0.0
 
 
 def main():
@@ -51,10 +45,7 @@ def main():
             sm, _, sse = stats([v[idx] for v in seq[u]])
             d = fm - sm
             se = math.sqrt(fse ** 2 + sse ** 2)
-            # zero joint SE (n=1 or tied values): any nonzero diff is
-            # infinitely many SEs — flag it, never report +0.00
-            ratio = 0.0 if (se == 0 and d == 0) else (
-                float("inf") if se == 0 else d / se)
+            ratio = diff_over_se(d, se)
             worst = max(worst, abs(ratio))
             print(f"{u:>8.4f} | {name:>6} | {fm:.4f} +- {fse:.4f}    | "
                   f"{sm:.4f} +- {sse:.4f}    | {d * 100:+7.3f}pt | "

@@ -154,20 +154,24 @@ def main():
         old = json.load(open(args.out))
         stored = old["arms"]
         verdicts = old.get("verdicts", {})
-        if "verdict" in old and str(old.get("nepochs")) not in verdicts:
+        # legacy (pre-"verdicts") files only: new-format files always
+        # carry "verdicts", and their top-level "nepochs" is just the
+        # LAST invocation's epoch count — migrating from it would
+        # re-record a 36-epoch verdict under a smoke epoch key
+        if "verdict" in old and "verdicts" not in old:
             verdicts[str(old["nepochs"])] = old["verdict"]
     done = {(r["acts"], r["seed"], r.get("nepochs")): r for r in stored}
 
     def persist():
+        from neural_ode_metasolver_tpu.utils import atomic_write
+
         os.makedirs(os.path.dirname(args.out), exist_ok=True)
         doc = {"nepochs": args.nepochs, "arms": list(done.values()),
                "verdicts": verdicts}
         if "36" in verdicts:
             doc["verdict"] = verdicts["36"]
-        tmp = args.out + ".tmp"
-        with open(tmp, "w") as f:
+        with atomic_write(args.out) as f:
             json.dump(doc, f, indent=1)
-        os.replace(tmp, args.out)
 
     arms = []
     for spec in args.arms.split(","):

@@ -164,7 +164,21 @@ def test_gelu_equiv_36ep_resume_merge_and_verdict(tmp_path, monkeypatch):
         os.path.join(os.path.dirname(__file__), "..", "scripts",
                      "gelu_equiv_36ep.py"))
     mod = importlib.util.module_from_spec(spec)
+    # the script's top level runs bench_env.setup(), which repoints the
+    # process-wide compile cache at the TPU .jax_cache — restore the
+    # suite's CPU cache config afterwards or every later test in this
+    # pytest process pollutes the persistent TPU cache
+    import jax
+    prev_env = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    prev_cache = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
     spec.loader.exec_module(mod)
+    if prev_env is None:
+        os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
+    else:
+        os.environ["JAX_COMPILATION_CACHE_DIR"] = prev_env
+    jax.config.update("jax_compilation_cache_dir", prev_cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_min)
 
     out = str(tmp_path / "equiv.json")
     full = {"acts": "GeLU", "seed": 602, "nepochs": 36, "clean": 1.0,

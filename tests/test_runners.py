@@ -771,7 +771,8 @@ def test_u_sweep_fleet_oversized_auto_chunks(monkeypatch):
         args = u_sweep.parse_args(
             ["--u_grid", ",".join(str(u) for u in u_grid),
              "--seeds", ",".join(str(s) for s in seeds), "--fleet"]
-            + (["--fleet_chunk", str(fleet_chunk)] if fleet_chunk else []))
+            + (["--fleet_chunk", str(fleet_chunk)]
+               if fleet_chunk is not None else []))
         return u_sweep._run_fleet(args, None, None, None, None, None,
                                   None, None, logger)
 
@@ -787,12 +788,21 @@ def test_u_sweep_fleet_oversized_auto_chunks(monkeypatch):
     assert [len(c) for c in calls] == [16] * 6
     assert len(rows) == 96
 
-    # prime member count (17): no decent divisor -> 16 + padded tail
+    # prime member count (17): no divisor in (8, 16] -> the minimal-
+    # padding equal chunk wins (9+9 = 1 padded member, not 16+16 = 15
+    # throwaway full-schedule trainings)
     rows = run([0.5], list(range(1, 18)), None)
-    assert [len(c) for c in calls] == [16, 16]
-    assert len(calls[1]) - calls[1].count(calls[1][0]) == 0  # 1 real, 15 pads
+    assert [len(c) for c in calls] == [9, 9]
+    assert len(set(calls[1])) == 8  # 8 real members + 1 pad
+    assert calls[1][-1] == calls[1][0]  # the pad duplicates part[0]
     assert len(rows) == 17
     assert len({(r["u0"], r["seed"]) for r in rows}) == 17  # pads dropped
+
+    # --fleet_chunk 0 / negative: a clear error, not ZeroDivisionError
+    import pytest
+    for bad in (0, -4):
+        with pytest.raises(ValueError, match="fleet_chunk"):
+            run([0.5], [1, 2], bad)
 
     # explicit chunk honored; tail padded to the explicit size
     rows = run([0.1, 0.3, 0.5, 0.7, 0.9], [1, 2, 3, 4], 8)
