@@ -382,20 +382,52 @@ def main(argv=None):
     from neural_ode_metasolver_tpu.training.accuracy_tables import (
         save_accuracy_table,
     )
+    from neural_ode_metasolver_tpu.utils.misc import atomic_write
 
     os.makedirs(args.out_dir, exist_ok=True)
+    evals_dir = os.path.join(args.out_dir, "evals")
+    os.makedirs(evals_dir, exist_ok=True)
+
+    def _eval_cached(cache_name, trained_now, run):
+        """Bank one eval sweep's result so a timed-out chip window does
+        not redo it: the report is only written at the very end, and a
+        multi-seed full run spans several 10-min-split tries — without
+        this, every completed sweep (~15-20 min hot each) re-runs on
+        resume.  The cache is only trusted when this try did NOT retrain
+        the arm (the same rule as --skip_training's checkpoint reuse; a
+        fixed seed retrains to the same state, but a retrain means the
+        prior cache's provenance is gone) and the steps grid + subset
+        match."""
+        path = os.path.join(evals_dir, cache_name)
+        if not trained_now and os.path.exists(path):
+            with open(path) as f:
+                d = json.load(f)
+            if (d.get("steps_grid") == steps_grid
+                    and d.get("subset") == args.subset):
+                print(f"  [evals] reusing banked {cache_name}", flush=True)
+                return d["result"]
+        result = run()
+        with atomic_write(path) as f:
+            json.dump({"steps_grid": steps_grid, "subset": args.subset,
+                       "result": result}, f)
+        return result
+
     tables = {}  # (arm, mode) -> rows (one per seed)
     regime_rows = None
     regime_seed = seeds[1] if len(seeds) > 1 else seeds[0]
     for arm in args.arms:
         for seed in seeds:
             save_dir = os.path.join(args.out_dir, f"{arm}_seed{seed}")
-            if not (args.skip_training
-                    and os.path.isdir(os.path.join(save_dir, "last"))):
+            trained_now = not (args.skip_training
+                               and os.path.isdir(os.path.join(save_dir,
+                                                              "last")))
+            if trained_now:
                 print(f"== training {arm} seed={seed} ==", flush=True)
                 train_arm(arm, seed, save_dir, args)
             print(f"== evaluating {arm} seed={seed} ==", flush=True)
-            accs = eval_arm(arm, seed, save_dir, args, steps_grid)
+            accs = _eval_cached(
+                f"{arm}_seed{seed}.json", trained_now,
+                lambda: eval_arm(arm, seed, save_dir, args, steps_grid))
             for mode, row in accs.items():
                 tables.setdefault((arm, mode), []).append(row)
             if arm == "smoothing" and seed == regime_seed:
@@ -406,7 +438,11 @@ def main(argv=None):
                 # checkpoint — comparing a different seed's checkpoint
                 # would bake a systematic delta into the 0.5% bar
                 print(f"== regime grid on {arm} seed={seed} ==", flush=True)
-                regime_rows = eval_regimes(save_dir, args)
+                rows_list = _eval_cached(
+                    f"regimes_{arm}_seed{seed}.json", trained_now,
+                    lambda: [[r, m, a] for (r, m), a
+                             in eval_regimes(save_dir, args).items()])
+                regime_rows = {(r, m): a for r, m, a in rows_list}
 
     acc_dir = os.path.join(args.out_dir, "accuracy")
     report = {"subset": args.subset, "seeds": seeds,

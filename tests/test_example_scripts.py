@@ -69,6 +69,25 @@ def test_replicate_baseline_smoke_driver(tmp_path):
     assert t["steps_arr"] == [1, 2] and len(t["accs"]) == 1
     assert os.path.exists(os.path.join(out_dir, "report.md"))
 
+    # resume path: --skip_training reuses both the checkpoint AND the
+    # banked per-arm eval cache (evals/*.json) — a timed-out multi-seed
+    # chip try must not redo completed eval sweeps, only rebuild the
+    # report from the caches
+    res2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts",
+                                      "replicate_baseline.py"),
+         "--subset", "smoke", "--out_dir", out_dir,
+         "--arms", "standalone", "--eval_batches", "1",
+         "--skip_training"],
+        cwd=REPO, env=dict(os.environ), capture_output=True, text=True,
+        timeout=540,
+    )
+    assert res2.returncode == 0, (res2.stdout[-2000:], res2.stderr[-2000:])
+    assert "reusing banked standalone_seed602.json" in res2.stdout
+    assert "== training" not in res2.stdout
+    report2 = json.load(open(os.path.join(out_dir, "report.json")))
+    assert report2["rows"] == report["rows"]
+
 
 def test_cifar_example_restores_default_runner_checkpoint(tmp_path):
     """The example's restore template must be rebuilt from the saved
