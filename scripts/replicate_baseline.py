@@ -99,6 +99,21 @@ def parse_args(argv=None):
                         "informational like smoke — this exists to "
                         "exercise and time the parity-day path end to "
                         "end before real data is available")
+    p.add_argument("--isolate", dest="isolate", action="store_true",
+                   default=None,
+                   help="run each train/eval unit in a fresh subprocess "
+                        "(default on for --subset full off-cpu): the "
+                        "tunneled-TPU client leaks ~3-5 MB of host RSS "
+                        "per dispatched batch, so a 6-arm run in ONE "
+                        "process crosses the host's 125 GB and gets "
+                        "OOM-killed (round-5 postmortem: 126 GB anon-rss "
+                        "kill at 9850 s); per-unit processes cap the "
+                        "leak at one unit's footprint (~25 GB)")
+    p.add_argument("--no_isolate", dest="isolate", action="store_false")
+    p.add_argument("--stage", type=str, default=None,
+                   help="internal: run ONE unit ('train:<arm>:<seed>' | "
+                        "'eval:<arm>:<seed>' | 'regimes:<arm>:<seed>') "
+                        "and exit; spawned by the --isolate parent")
     return p.parse_args(argv)
 
 
@@ -339,8 +354,14 @@ def eval_regimes(save_dir, args):
 
 
 def main(argv=None):
+    raw_argv = list(sys.argv[1:] if argv is None else argv)
     args = parse_args(argv)
     smoke = args.subset == "smoke"
+    if args.isolate is None:
+        # full off-cpu runs dispatch ~10k+ batches per arm through the
+        # leaky tunnel client — isolate by default; smoke/cpu runs are
+        # short and fork-free tests expect in-process execution
+        args.isolate = args.subset == "full" and not args.force_cpu
     if smoke or args.force_cpu:
         # prove the plumbing on the fast local CPU mesh; full parity runs
         # keep the default (TPU) backend.  Must precede any jax import —
@@ -388,6 +409,46 @@ def main(argv=None):
     evals_dir = os.path.join(args.out_dir, "evals")
     os.makedirs(evals_dir, exist_ok=True)
 
+    if args.stage:
+        # child process: execute ONE unit and exit.  Eval stages write the
+        # banked-eval JSON themselves (atomically) so the parent — and any
+        # later --skip_training resume — reads the result from disk.
+        kind, arm, seed_s = args.stage.split(":")
+        seed = int(seed_s)
+        save_dir = os.path.join(args.out_dir, f"{arm}_seed{seed}")
+        if kind == "train":
+            train_arm(arm, seed, save_dir, args)
+        elif kind in ("eval", "regimes"):
+            if kind == "eval":
+                name = f"{arm}_seed{seed}.json"
+                result = eval_arm(arm, seed, save_dir, args, steps_grid)
+            else:
+                name = f"regimes_{arm}_seed{seed}.json"
+                result = [[r, m, a] for (r, m), a
+                          in eval_regimes(save_dir, args).items()]
+            with atomic_write(os.path.join(evals_dir, name)) as f:
+                json.dump({"steps_grid": steps_grid, "subset": args.subset,
+                           "result": result}, f)
+        else:
+            raise SystemExit(f"unknown --stage kind {kind!r}")
+        return None
+
+    def _spawn(stage):
+        """Run one unit in a fresh interpreter (same CLI + --stage).  The
+        per-dispatch host-RSS leak in the tunneled-TPU client dies with
+        the child; the parent never opens a device connection in isolate
+        mode (report assembly is pure python)."""
+        import subprocess
+
+        base = [a for i, a in enumerate(raw_argv)
+                if a != "--stage" and (i == 0 or raw_argv[i - 1] != "--stage")]
+        cmd = [sys.executable, os.path.abspath(__file__), *base,
+               "--stage", stage]
+        print(f"  [isolate] spawning {stage}", flush=True)
+        rc = subprocess.call(cmd)
+        if rc != 0:
+            raise RuntimeError(f"isolated stage {stage} exited rc={rc}")
+
     def _eval_cached(cache_name, trained_now, run):
         """Bank one eval sweep's result so a timed-out chip window does
         not redo it: the report is only written at the very end, and a
@@ -423,11 +484,23 @@ def main(argv=None):
                                                               "last")))
             if trained_now:
                 print(f"== training {arm} seed={seed} ==", flush=True)
-                train_arm(arm, seed, save_dir, args)
+                if args.isolate:
+                    _spawn(f"train:{arm}:{seed}")
+                else:
+                    train_arm(arm, seed, save_dir, args)
             print(f"== evaluating {arm} seed={seed} ==", flush=True)
+
+            def _run_eval(arm=arm, seed=seed, save_dir=save_dir):
+                if args.isolate:
+                    # the child wrote the banked JSON itself
+                    _spawn(f"eval:{arm}:{seed}")
+                    with open(os.path.join(evals_dir,
+                                           f"{arm}_seed{seed}.json")) as f:
+                        return json.load(f)["result"]
+                return eval_arm(arm, seed, save_dir, args, steps_grid)
+
             accs = _eval_cached(
-                f"{arm}_seed{seed}.json", trained_now,
-                lambda: eval_arm(arm, seed, save_dir, args, steps_grid))
+                f"{arm}_seed{seed}.json", trained_now, _run_eval)
             for mode, row in accs.items():
                 tables.setdefault((arm, mode), []).append(row)
             if arm == "smoothing" and seed == regime_seed:
@@ -438,10 +511,20 @@ def main(argv=None):
                 # checkpoint — comparing a different seed's checkpoint
                 # would bake a systematic delta into the 0.5% bar
                 print(f"== regime grid on {arm} seed={seed} ==", flush=True)
+
+                def _run_regimes(arm=arm, seed=seed, save_dir=save_dir):
+                    if args.isolate:
+                        _spawn(f"regimes:{arm}:{seed}")
+                        with open(os.path.join(
+                                evals_dir,
+                                f"regimes_{arm}_seed{seed}.json")) as f:
+                            return json.load(f)["result"]
+                    return [[r, m, a] for (r, m), a
+                            in eval_regimes(save_dir, args).items()]
+
                 rows_list = _eval_cached(
                     f"regimes_{arm}_seed{seed}.json", trained_now,
-                    lambda: [[r, m, a] for (r, m), a
-                             in eval_regimes(save_dir, args).items()])
+                    _run_regimes)
                 regime_rows = {(r, m): a for r, m, a in rows_list}
 
     acc_dir = os.path.join(args.out_dir, "accuracy")

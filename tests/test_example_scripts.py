@@ -89,6 +89,39 @@ def test_replicate_baseline_smoke_driver(tmp_path):
     assert report2["rows"] == report["rows"]
 
 
+def test_replicate_baseline_isolate_stages(tmp_path):
+    """--isolate runs every train/eval unit in a fresh subprocess (the
+    round-5 host-OOM mitigation: the tunneled-TPU client leaks host RSS
+    per dispatched batch, so one process running all 6 full arms crosses
+    the host memory limit).  The staged path must produce the same
+    report schema as the in-process path, via the same banked-eval
+    JSONs the resume path reads."""
+    import json
+
+    out_dir = str(tmp_path / "rep_iso")
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts",
+                                      "replicate_baseline.py"),
+         "--subset", "smoke", "--out_dir", out_dir,
+         "--arms", "standalone", "--eval_batches", "1", "--isolate"],
+        cwd=REPO, env=dict(os.environ), capture_output=True, text=True,
+        timeout=540,
+    )
+    assert res.returncode == 0, (res.stdout[-2000:], res.stderr[-2000:])
+    assert "[isolate] spawning train:standalone:602" in res.stdout
+    assert "[isolate] spawning eval:standalone:602" in res.stdout
+    report = json.load(open(os.path.join(out_dir, "report.json")))
+    assert {r["mode"] for r in report["rows"]} == {"clean", "fgsm", "pgd"}
+    # the eval child banked its sweep where --skip_training resumes look
+    cache = json.load(
+        open(os.path.join(out_dir, "evals", "standalone_seed602.json")))
+    assert cache["steps_grid"] == [1, 2]
+    clean_row = [r for r in report["rows"] if r["mode"] == "clean"][0]
+    # smoke's ref step is the grid's last entry; the report's per-seed
+    # value must be the banked sweep's value at that step
+    assert clean_row["ours_at_ref_steps"] == [cache["result"]["clean"][-1]]
+
+
 def test_cifar_example_restores_default_runner_checkpoint(tmp_path):
     """The example's restore template must be rebuilt from the saved
     config: a checkpoint trained with the runner DEFAULTS (sgd +
