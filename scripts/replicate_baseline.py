@@ -438,6 +438,7 @@ def main(argv=None):
         per-dispatch host-RSS leak in the tunneled-TPU client dies with
         the child; the parent never opens a device connection in isolate
         mode (report assembly is pure python)."""
+        import signal
         import subprocess
 
         base = [a for i, a in enumerate(raw_argv)
@@ -445,7 +446,25 @@ def main(argv=None):
         cmd = [sys.executable, os.path.abspath(__file__), *base,
                "--stage", stage]
         print(f"  [isolate] spawning {stage}", flush=True)
-        rc = subprocess.call(cmd)
+        proc = subprocess.Popen(cmd)
+
+        def _forward(signum, _frame):
+            # `timeout N parent` SIGTERMs only the parent: without
+            # forwarding, the child would survive as an orphan still
+            # dispatching to the chip, colliding with the retry's fresh
+            # job (chip jobs must never run concurrently — CLAUDE.md)
+            proc.send_signal(signum)
+            try:
+                proc.wait(timeout=60)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+            raise SystemExit(128 + signum)
+
+        prev = signal.signal(signal.SIGTERM, _forward)
+        try:
+            rc = proc.wait()
+        finally:
+            signal.signal(signal.SIGTERM, prev)
         if rc != 0:
             raise RuntimeError(f"isolated stage {stage} exited rc={rc}")
 
