@@ -30,6 +30,33 @@ def load(path, lo, hi):
     return by
 
 
+# Optional best-iterate CSV columns (digits_smoothing_best_iterate.py
+# schema): final-iterate endpoints + argmax epoch of the on-device
+# best-clean tracker.  Compared only when BOTH CSVs carry them.
+EXTRA_COLS = ("final_clean", "final_robust")
+
+
+def load_extra(path, lo, hi):
+    by = {}
+    with open(path, newline="") as f:
+        rd = csv.DictReader(f)
+        if not set(EXTRA_COLS) | {"best_epoch"} <= set(rd.fieldnames or ()):
+            return None
+        for r in rd:
+            s = int(r["seed"])
+            if lo <= s <= hi:
+                by.setdefault(r["regime"], {})[s] = (
+                    float(r["final_clean"]), float(r["final_robust"]),
+                    int(r["best_epoch"]))
+    return by
+
+
+def median(vals):
+    v = sorted(vals)
+    n = len(v)
+    return v[n // 2] if n % 2 else (v[n // 2 - 1] + v[n // 2]) / 2
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("fleet_csv")
@@ -60,6 +87,26 @@ def main():
             print(f"{reg:>12} | {name:>6} | {fm:.4f} +- {fse:.4f}    | "
                   f"{sm:.4f} +- {sse:.4f}    | {d * 100:+7.3f}pt | "
                   f"{ratio:+6.2f}")
+    fleet_x = load_extra(args.fleet_csv, args.seed_lo, args.seed_hi)
+    seq_x = load_extra(args.seq_csv, args.seed_lo, args.seed_hi)
+    if fleet_x is not None and seq_x is not None:
+        for reg in sorted(set(fleet_x) & set(seq_x)):
+            common = sorted(set(fleet_x[reg]) & set(seq_x[reg]))
+            if not common:
+                continue
+            for name, idx in (("final_clean", 0), ("final_robust", 1)):
+                fm, _, fse = stats([fleet_x[reg][s][idx] for s in common])
+                sm, _, sse = stats([seq_x[reg][s][idx] for s in common])
+                d, se = fm - sm, math.sqrt(fse ** 2 + sse ** 2)
+                ratio = diff_over_se(d, se)
+                worst = max(worst, abs(ratio))
+                print(f"{reg:>12} | {name:>6} | {fm:.4f} +- {fse:.4f}    | "
+                      f"{sm:.4f} +- {sse:.4f}    | {d * 100:+7.3f}pt | "
+                      f"{ratio:+6.2f}")
+            print(f"{reg:>12} | best_epoch median: fleet "
+                  f"{median([fleet_x[reg][s][2] for s in common])} vs seq "
+                  f"{median([seq_x[reg][s][2] for s in common])} "
+                  f"(n={len(common)}; informational)")
     # paired smoothing effect must agree between streams too — this is
     # part of the gate, so its stream disagreement feeds `worst`
     if {"standalone", "smoothing"} <= set(regimes):

@@ -286,3 +286,56 @@ def test_gelu_equiv_36ep_resume_merge_and_verdict(tmp_path, monkeypatch):
     mod.main()
     d = json.load(open(out))
     assert d["verdict"] == v and d["verdicts"]["36"] == v
+
+
+def test_fleet_gate_compare_best_iterate_columns(tmp_path):
+    """fleet_gate_compare.py compares the best-iterate CSV schema's
+    extra columns (final_clean/final_robust feed the gate's worst
+    |diff|/SE; best_epoch medians are informational) and degrades to
+    the 4-cell compare when either CSV lacks them (36ep schema)."""
+    header = ("regime,seed,clean_acc,robust_acc,"
+              "final_clean,final_robust,best_epoch\n")
+
+    def rows(shift):
+        out = []
+        for reg, base in (("standalone", 0.90), ("smoothing", 0.91)):
+            for s in range(1, 5):
+                c = base + 0.01 * s + shift
+                out.append(f"{reg},{s},{c},{c - 0.1},"
+                           f"{c - 0.02},{c - 0.12},{60 + s}\n")
+        return out
+
+    fleet = tmp_path / "fleet.csv"
+    seq = tmp_path / "seq.csv"
+    fleet.write_text(header + "".join(rows(0.001)))
+    seq.write_text(header + "".join(rows(0.0)))
+    res = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "scripts", "fleet_gate_compare.py"),
+         str(fleet), str(seq), "--seed_lo", "1", "--seed_hi", "4"],
+        cwd=os.path.join(REPO, "scripts"), capture_output=True, text=True,
+        timeout=60,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "final_clean" in res.stdout and "final_robust" in res.stdout
+    assert "best_epoch median: fleet 62.5 vs seq 62.5" in res.stdout
+    assert "worst |diff|/SE across cells" in res.stdout
+
+    # 36ep schema (no extra columns): the extra block must not appear
+    head36 = "regime,seed,clean_acc,robust_acc\n"
+    body36 = "".join(r.split(",", 4)[0] + "," + ",".join(r.split(",")[1:4])
+                     + "\n" for r in rows(0.0))
+    fleet36 = tmp_path / "fleet36.csv"
+    seq36 = tmp_path / "seq36.csv"
+    fleet36.write_text(head36 + body36)
+    seq36.write_text(head36 + body36)
+    res36 = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "scripts", "fleet_gate_compare.py"),
+         str(fleet36), str(seq36), "--seed_lo", "1", "--seed_hi", "4"],
+        cwd=os.path.join(REPO, "scripts"), capture_output=True, text=True,
+        timeout=60,
+    )
+    assert res36.returncode == 0, res36.stderr[-2000:]
+    assert "final_clean" not in res36.stdout
+    assert "worst |diff|/SE across cells: 0.00" in res36.stdout
