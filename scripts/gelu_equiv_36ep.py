@@ -14,6 +14,11 @@ images — results/flagship36_*/metrics.jsonl config) is run three times:
     GeLUpoly @ seed 602 (identical init/keys/batch order)
     erf @ seed 603      (the seed-noise yardstick)
 
+plus an OPTIONAL fourth arm, GeLUpoly @ seed 603 (round-5 phase 6),
+which completes the 2x2 activation x seed matrix: when banked, the
+verdict binds on BOTH paired activation deltas (poly-vs-erf at 602 AND
+at 603), each against the same erf seed yardstick.
+
 ALL accuracy endpoints (clean AND robust) saturate at 1.0 on this
 separable synthetic task (round-4 finding: the banked erf arm reports
 clean=fgsm=pgd=1.0), so accuracies are recorded but non-binding.  The
@@ -196,13 +201,18 @@ def main():
         # discriminating power when saturated.  The BINDING equivalence
         # basis is the epoch-loss trajectory: the activation swap must
         # not move the trajectory by more than a seed change does.
+        # optional second paired point (GeLUpoly @ the yardstick seed):
+        # when present, BOTH activation deltas must clear the same bar
+        p3 = by.get(("GeLUpoly", 603))
         acc = {}
         saturated = True
         for ep in ("fgsm", "pgd", "clean"):
             act_d = abs(p2[ep] - e2[ep])
+            if p3 is not None:
+                act_d = max(act_d, abs(p3[ep] - e3[ep]))
             seed_d = abs(e3[ep] - e2[ep])
-            saturated &= (e2[ep] == 1.0 and p2[ep] == 1.0
-                          and e3[ep] == 1.0)
+            saturated &= all(a[ep] == 1.0 for a in (e2, p2, e3)
+                             + ((p3,) if p3 is not None else ()))
             acc[ep] = {"activation_delta": round(act_d, 4),
                        "seed_delta": round(seed_d, 4),
                        "within_seed_noise": act_d <= max(seed_d, 0.01)}
@@ -215,8 +225,12 @@ def main():
 
         act_t = traj_delta(p2, e2)
         seed_t = traj_delta(e3, e2)
-        traj_ok = (act_t["mean"] <= max(seed_t["mean"], 0.01)
-                   and act_t["max"] <= max(seed_t["max"], 0.05))
+        act_pairs = {"602": act_t}
+        if p3 is not None:
+            act_pairs["603"] = traj_delta(p3, e3)
+        traj_ok = all(t["mean"] <= max(seed_t["mean"], 0.01)
+                      and t["max"] <= max(seed_t["max"], 0.05)
+                      for t in act_pairs.values())
         acc_ok = all(v["within_seed_noise"] for v in acc.values())
         verdict = {
             "basis": ("epoch-loss trajectories (binding); accuracy "
@@ -226,12 +240,14 @@ def main():
                       "(both binding — accuracies did not saturate)"),
             "loss_trajectory": {
                 "activation_delta": act_t, "seed_delta": seed_t,
+                "activation_delta_seed603": act_pairs.get("603"),
                 "final_loss_activation_delta":
                     round(abs(p2["final_loss"] - e2["final_loss"]), 5),
                 "final_loss_seed_delta":
                     round(abs(e3["final_loss"] - e2["final_loss"]), 5),
                 "within_seed_noise": traj_ok,
             },
+            "paired_points": len(act_pairs),
             "accuracies": acc,
             "accuracies_saturated": saturated,
             "equivalent": bool(traj_ok and acc_ok),
