@@ -287,6 +287,37 @@ def test_gelu_equiv_36ep_resume_merge_and_verdict(tmp_path, monkeypatch):
     d = json.load(open(out))
     assert d["verdict"] == v and d["verdicts"]["36"] == v
 
+    # fourth arm (GeLUpoly @ the yardstick seed) completes the 2x2
+    # matrix: the verdict must then bind on BOTH paired activation
+    # deltas and record the second pair
+    calls.clear()
+    argv4 = argv[:-1] + ["GeLU:602,GeLUpoly:602,GeLU:603,GeLUpoly:603"]
+    monkeypatch.setattr(sys, "argv", argv4 + ["--nepochs", "36"])
+    mod.main()
+    assert calls == [("GeLUpoly", 603, 36)]
+    d = json.load(open(out))
+    v4 = d["verdict"]
+    assert v4["paired_points"] == 2
+    assert v4["loss_trajectory"]["activation_delta_seed603"] is not None
+    assert v4["equivalent"] is True
+
+    # a divergent seed-603 poly arm must flip the verdict even though
+    # the seed-602 pair alone would pass
+    d["arms"] = [a for a in d["arms"]
+                 if not (a["acts"] == "GeLUpoly" and a["seed"] == 603)]
+    with open(out, "w") as f:
+        json.dump(d, f)
+
+    def bad_run(acts, seed, nepochs, tr, te, eval_batch=64):
+        r = fake_run(acts, seed, nepochs, tr, te, eval_batch)
+        r["epoch_losses"] = [x + 2.0 for x in r["epoch_losses"]]
+        return r
+
+    monkeypatch.setattr(mod, "run", bad_run)
+    mod.main()
+    v_bad = json.load(open(out))["verdict"]
+    assert v_bad["paired_points"] == 2 and v_bad["equivalent"] is False
+
 
 def test_fleet_gate_compare_best_iterate_columns(tmp_path):
     """fleet_gate_compare.py compares the best-iterate CSV schema's
