@@ -318,6 +318,50 @@ def test_gelu_equiv_36ep_resume_merge_and_verdict(tmp_path, monkeypatch):
     v_bad = json.load(open(out))["verdict"]
     assert v_bad["paired_points"] == 2 and v_bad["equivalent"] is False
 
+    # third seed activates the pre-registered 3x2 permutation branch:
+    # activation deltas interleaved with seed deltas -> equivalent, with
+    # exact p-values over the C(9,3)=84 subsets
+    def seeded_run(acts, seed, nepochs, tr, te, eval_batch=64):
+        base = [2.3 - 0.01 * (seed % 10) + 0.005 * (1 if acts == "GeLU"
+                                                    else -1), 1.6]
+        base = base + [1e-3 * (seed % 7 + 1)] * (nepochs - 2)
+        return {"acts": acts, "seed": seed, "nepochs": nepochs,
+                "eval_batch": eval_batch, "clean": 1.0, "fgsm": 1.0,
+                "pgd": 1.0, "final_loss": base[-1], "peak_loss": 1e-3,
+                "epoch_losses": base, "train_s": 1.0}
+
+    monkeypatch.setattr(mod, "run", seeded_run)
+    out3 = str(tmp_path / "equiv3.json")
+    argv6 = ["x", "--out", out3, "--arms",
+             "GeLU:602,GeLUpoly:602,GeLU:603,GeLUpoly:603,"
+             "GeLU:604,GeLUpoly:604", "--nepochs", "36"]
+    monkeypatch.setattr(sys, "argv", argv6)
+    mod.main()
+    v3 = json.load(open(out3))["verdict"]
+    assert v3["paired_points"] == 3
+    assert len(v3["activation_pairs"]) == 3
+    assert len(v3["seed_pairs"]) == 6
+    assert 0.0 < v3["p_mean"] <= 1.0 and 0.0 < v3["p_max"] <= 1.0
+    assert v3["equivalent"] is (v3["p_mean"] >= 0.1
+                                and v3["p_max"] >= 0.1)
+
+    # an activation with a REAL trajectory effect (poly always shifted
+    # by more than any seed-to-seed spread) must be rejected: all three
+    # activation pairs rank above all six seed pairs -> p = 1/84 < 0.1
+    def effect_run(acts, seed, nepochs, tr, te, eval_batch=64):
+        r = seeded_run(acts, seed, nepochs, tr, te, eval_batch)
+        if acts == "GeLUpoly":
+            r["epoch_losses"] = [x + 1.0 for x in r["epoch_losses"]]
+        return r
+
+    monkeypatch.setattr(mod, "run", effect_run)
+    out_e = str(tmp_path / "equiv_effect.json")
+    monkeypatch.setattr(sys, "argv",
+                        [argv6[0], "--out", out_e] + argv6[3:])
+    mod.main()
+    ve = json.load(open(out_e))["verdict"]
+    assert ve["p_mean"] < 0.1 and ve["equivalent"] is False
+
 
 def test_fleet_gate_compare_best_iterate_columns(tmp_path):
     """fleet_gate_compare.py compares the best-iterate CSV schema's
