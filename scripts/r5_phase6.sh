@@ -22,7 +22,10 @@ done_check() {
 import json, sys
 try:
     v = json.load(open("results/gelu_tax/gelu_equiv_36ep.json"))["verdict"]
-    sys.exit(0 if v.get("paired_points") == 2 else 1)
+    # >= 2: phase 7 upgraded the matrix to 3x2 — a re-run of this
+    # superseded phase must NOT recompute the narrower 2x2 verdict
+    # over it (the r4_phase2.sh lesson, advisor r4 item e)
+    sys.exit(0 if v.get("paired_points", 0) >= 2 else 1)
 except Exception:
     sys.exit(1)
 EOF
