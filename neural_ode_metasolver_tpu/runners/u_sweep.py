@@ -70,10 +70,15 @@ def parse_args(argv=None):
     p.add_argument("--fleet_chunk", type=int, default=None,
                    help="members per fleet program (default: auto — all "
                         "members in one program up to the measured "
-                        "HBM-safe optimum of 16, chunks of 16 beyond "
-                        "that; 96 members in one program OOMs a single "
-                        "core at 72 epochs — SCALING.md 'Fleet HBM "
-                        "bound')")
+                        "HBM-safe optimum of 16; beyond that, ONE "
+                        "equal chunk size in (8, 16] chosen to "
+                        "minimize padded throwaway members (a "
+                        "different size is a different grouped-conv "
+                        "numerics stream — pass --fleet_chunk 16 to "
+                        "pin the S=16 stream for cross-campaign "
+                        "comparability); 96 members in one program "
+                        "OOMs a single core at 72 epochs — SCALING.md "
+                        "'Fleet HBM bound')")
     return p.parse_args(argv)
 
 

@@ -22,16 +22,21 @@ __all__ = ["fix_seeds", "count_parameters", "makedirs", "get_logger",
 
 @contextlib.contextmanager
 def atomic_write(path: str, mode: str = "w", **open_kwargs):
-    """Open ``path + ".tmp"`` for writing and ``os.replace`` it onto
-    ``path`` on clean exit.
+    """Open a same-directory temp file for writing and ``os.replace``
+    it onto ``path`` on clean exit.
 
     An interrupt (timeout SIGTERM, OOM kill) mid-write can therefore
     never leave a truncated file at ``path`` — campaign drivers treat an
     existing output file as a completed chunk, so a torn write would be
     silently skipped as done on the re-run.  On an exception the temp
     file is removed and ``path`` is untouched.
+
+    The temp name carries the pid so two writers to the same path (e.g.
+    a parent retry racing a kill()ed-but-not-dead child) cannot replace
+    each other's partial content; a SIGKILL (no Python cleanup) leaves
+    at worst an orphaned ``.<pid>.tmp``, which is gitignored.
     """
-    tmp = path + ".tmp"
+    tmp = f"{path}.{os.getpid()}.tmp"
     try:
         with open(tmp, mode, **open_kwargs) as f:
             yield f

@@ -15,6 +15,7 @@ agreeing between streams.
 import argparse
 import csv
 import math
+from statistics import median
 
 from compare_lib import diff_over_se, stats
 
@@ -49,12 +50,6 @@ def load_extra(path, lo, hi):
                     float(r["final_clean"]), float(r["final_robust"]),
                     int(r["best_epoch"]))
     return by
-
-
-def median(vals):
-    v = sorted(vals)
-    n = len(v)
-    return v[n // 2] if n % 2 else (v[n // 2 - 1] + v[n // 2]) / 2
 
 
 def main():

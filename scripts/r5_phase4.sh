@@ -62,8 +62,8 @@ run_gate_unit() {
   [ -f "$out" ]
 }
 
-run_gate_unit "$(seq -s, 17 32)" results/fleet_gate_36ep_s17_32.csv s17_32
-run_gate_unit "$(seq -s, 33 42)" results/fleet_gate_36ep_s33_42.csv s33_42
+run_gate_unit "$(seq -s, 17 32)" results/fleet_gate_36ep_s17_32.csv s17_32 || exit 1
+run_gate_unit "$(seq -s, 33 42)" results/fleet_gate_36ep_s33_42.csv s33_42 || exit 1
 
 if [ -f results/fleet_gate_36ep_s17_32.csv ] \
    && [ -f results/fleet_gate_36ep_s33_42.csv ]; then

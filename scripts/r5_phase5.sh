@@ -65,8 +65,8 @@ run_gate_unit() {
   [ -f "$out" ]
 }
 
-run_gate_unit "$(seq -s, 316 331)" results/fleet_gate_72ep_s316_331.csv s316_331
-run_gate_unit "$(seq -s, 332 347)" results/fleet_gate_72ep_s332_347.csv s332_347
+run_gate_unit "$(seq -s, 316 331)" results/fleet_gate_72ep_s316_331.csv s316_331 || exit 1
+run_gate_unit "$(seq -s, 332 347)" results/fleet_gate_72ep_s332_347.csv s332_347 || exit 1
 
 if [ -f results/fleet_gate_72ep_s316_331.csv ] \
    && [ -f results/fleet_gate_72ep_s332_347.csv ]; then

@@ -391,6 +391,15 @@ def main(argv=None):
     seeds = args.seeds or ([602] if smoke else [602, 603, 604])
     steps_grid = [1, 2] if smoke else [1, 2, 4, 6, 8, 10, 12, 14, 16]
     ref_step = steps_grid[-1] if smoke else 8
+    # Full provenance of a banked eval sweep: a --skip_training resume
+    # must not reuse a sweep produced under different eval settings or
+    # a different data source (e.g. a truncated --eval_batches quick
+    # check, or a synthetic rehearsal's cache picked up by a later
+    # --data_root real run sharing the out_dir).
+    eval_meta = {"steps_grid": steps_grid, "subset": args.subset,
+                 "eval_batches": args.eval_batches,
+                 "adv_eval_batch": args.adv_eval_batch,
+                 "data": args.data_root or "synthetic"}
     if not smoke and not args.data_root and not args.allow_synthetic:
         raise SystemExit(
             "--subset full needs --data_root with real CIFAR-10 "
@@ -427,8 +436,7 @@ def main(argv=None):
                 result = [[r, m, a] for (r, m), a
                           in eval_regimes(save_dir, args).items()]
             with atomic_write(os.path.join(evals_dir, name)) as f:
-                json.dump({"steps_grid": steps_grid, "subset": args.subset,
-                           "result": result}, f)
+                json.dump(dict(eval_meta, result=result), f)
         else:
             raise SystemExit(f"unknown --stage kind {kind!r}")
         return None
@@ -476,20 +484,18 @@ def main(argv=None):
         resume.  The cache is only trusted when this try did NOT retrain
         the arm (the same rule as --skip_training's checkpoint reuse; a
         fixed seed retrains to the same state, but a retrain means the
-        prior cache's provenance is gone) and the steps grid + subset
-        match."""
+        prior cache's provenance is gone) and the FULL eval provenance
+        (steps grid, subset, eval batch limits, data source) matches."""
         path = os.path.join(evals_dir, cache_name)
         if not trained_now and os.path.exists(path):
             with open(path) as f:
                 d = json.load(f)
-            if (d.get("steps_grid") == steps_grid
-                    and d.get("subset") == args.subset):
+            if all(d.get(k) == v for k, v in eval_meta.items()):
                 print(f"  [evals] reusing banked {cache_name}", flush=True)
                 return d["result"]
         result = run()
         with atomic_write(path) as f:
-            json.dump({"steps_grid": steps_grid, "subset": args.subset,
-                       "result": result}, f)
+            json.dump(dict(eval_meta, result=result), f)
         return result
 
     tables = {}  # (arm, mode) -> rows (one per seed)
